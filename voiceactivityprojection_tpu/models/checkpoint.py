@@ -1,0 +1,226 @@
+"""Checkpoint interop.
+
+Three formats (SURVEY.md §5.4):
+1. Reference torch state dicts (`.pt` plain and legacy Lightning `.ckpt`
+   via `remap_legacy_state_dict`, vap/model.py:28-39) — imported into our
+   param pytree with layout transposes (torch Conv1d (O,I,K) -> (K,I,O);
+   Linear (O,I) kept row-major, applied as x @ W.T; GRU (3H,*) -> (*,3H)).
+2. Native checkpoints via orbax (params + opt state + step).
+3. Export back to a torch-layout state dict for cross-validation.
+
+torch is only needed for reading `.pt` files; the importer itself works on
+any {name: ndarray} mapping.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Dict, Mapping
+
+import jax.numpy as jnp
+import numpy as np
+
+from voiceactivityprojection_tpu.config import VapConfig
+from voiceactivityprojection_tpu.models.encoder import CPC_CONV_SPECS
+
+Params = Dict[str, Any]
+
+
+def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
+    """Read a torch .pt/.ckpt into {name: numpy} (host-side)."""
+    import torch
+
+    obj = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(obj, dict) and "state_dict" in obj:
+        obj = remap_legacy_state_dict(obj["state_dict"])
+    return {k: v.numpy() if hasattr(v, "numpy") else np.asarray(v) for k, v in obj.items()}
+
+
+def remap_legacy_state_dict(sd: Mapping[str, Any]) -> Dict[str, Any]:
+    """Older Lightning ckpt -> current names (vap/model.py:28-39):
+    strip 'net.' prefix, drop 'VAP.codebook', rename
+    'vap_head.projection_head' -> 'vap_head'."""
+    out = {}
+    for k, v in sd.items():
+        if "VAP.codebook" in k:
+            continue
+        if "vap_head" in k:
+            k = k.replace("vap_head.projection_head", "vap_head")
+        out[k.replace("net.", "")] = v
+    return out
+
+
+def _j(x) -> jnp.ndarray:
+    return jnp.asarray(np.asarray(x))
+
+
+def _conv_w(x) -> jnp.ndarray:
+    """torch Conv1d weight (O, I, K) -> lax HIO (K, I, O)."""
+    return _j(np.asarray(x).transpose(2, 1, 0))
+
+
+def _import_mha(sd: Mapping[str, np.ndarray], prefix: str) -> Params:
+    return {
+        "query": {"w": _j(sd[f"{prefix}.query.weight"])},
+        "key": {"w": _j(sd[f"{prefix}.key.weight"])},
+        "value": {"w": _j(sd[f"{prefix}.value.weight"])},
+        "proj": {"w": _j(sd[f"{prefix}.proj.weight"])},
+        "m": _j(sd[f"{prefix}.m"]),
+    }
+
+
+def _import_layer(sd: Mapping[str, np.ndarray], prefix: str) -> Params:
+    p: Params = {
+        "ln_self_attn": {
+            "w": _j(sd[f"{prefix}.ln_self_attn.weight"]),
+            "b": _j(sd[f"{prefix}.ln_self_attn.bias"]),
+        },
+        "ln_ffnetwork": {
+            "w": _j(sd[f"{prefix}.ln_ffnetwork.weight"]),
+            "b": _j(sd[f"{prefix}.ln_ffnetwork.bias"]),
+        },
+        "mha": _import_mha(sd, f"{prefix}.mha"),
+        "ffn": {
+            # reference ffn_block Sequential: [0]=Linear in, [3]=Linear out
+            # (vap/modules.py:9-21)
+            "w_in": {"w": _j(sd[f"{prefix}.ffnetwork.0.weight"])},
+            "w_out": {"w": _j(sd[f"{prefix}.ffnetwork.3.weight"])},
+        },
+    }
+    if f"{prefix}.mha_cross.query.weight" in sd:
+        p["ln_src_attn"] = {
+            "w": _j(sd[f"{prefix}.ln_src_attn.weight"]),
+            "b": _j(sd[f"{prefix}.ln_src_attn.bias"]),
+        }
+        p["mha_cross"] = _import_mha(sd, f"{prefix}.mha_cross")
+    return p
+
+
+def _num_layers(sd: Mapping[str, np.ndarray], stack: str) -> int:
+    pat = re.compile(rf"^{re.escape(stack)}\.layers\.(\d+)\.")
+    idxs = {int(m.group(1)) for k in sd if (m := pat.match(k))}
+    return (max(idxs) + 1) if idxs else 0
+
+
+def import_encoder_state_dict(
+    sd: Mapping[str, np.ndarray], prefix: str = "encoder"
+) -> Params:
+    """Reference EncoderCPC subtree -> encoder param pytree.
+
+    Key map (vap/encoder.py:7-66, encoder_components.py:73-159,485-499):
+      {prefix}.encoder.gEncoder.conv{i}.{weight,bias}
+      {prefix}.encoder.gEncoder.batchNorm{i}.{weight,bias}  # (1, C, 1)
+      {prefix}.encoder.gAR.baseNet.{weight_ih_l0,weight_hh_l0,bias_*}
+      {prefix}.downsample.1.{weight,bias}        # CConv1d
+      {prefix}.downsample.2.ln.{weight,bias}     # channel LayerNorm
+    """
+    convs = []
+    for i in range(len(CPC_CONV_SPECS)):
+        convs.append(
+            {
+                "conv": {
+                    "w": _conv_w(sd[f"{prefix}.encoder.gEncoder.conv{i}.weight"]),
+                    "b": _j(sd[f"{prefix}.encoder.gEncoder.conv{i}.bias"]),
+                },
+                "norm": {
+                    "w": _j(np.asarray(sd[f"{prefix}.encoder.gEncoder.batchNorm{i}.weight"]).reshape(-1)),
+                    "b": _j(np.asarray(sd[f"{prefix}.encoder.gEncoder.batchNorm{i}.bias"]).reshape(-1)),
+                },
+            }
+        )
+    gar = f"{prefix}.encoder.gAR.baseNet"
+    return {
+        "gEncoder": convs,
+        "gAR": {
+            "w_ih": _j(np.asarray(sd[f"{gar}.weight_ih_l0"]).T),
+            "w_hh": _j(np.asarray(sd[f"{gar}.weight_hh_l0"]).T),
+            "b_ih": _j(sd[f"{gar}.bias_ih_l0"]),
+            "b_hh": _j(sd[f"{gar}.bias_hh_l0"]),
+        },
+        "downsample": {
+            "conv": {
+                "w": _conv_w(sd[f"{prefix}.downsample.1.weight"]),
+                "b": _j(sd[f"{prefix}.downsample.1.bias"]),
+            },
+            "ln": {
+                "w": _j(sd[f"{prefix}.downsample.2.ln.weight"]),
+                "b": _j(sd[f"{prefix}.downsample.2.ln.bias"]),
+            },
+        },
+    }
+
+
+def import_cpc_checkpoint(sd: Mapping[str, np.ndarray]) -> Params:
+    """Raw CPC checkpoint ('weights' subtree of the libri-light .pt,
+    encoder_components.py:371-400) -> partial encoder pytree (no downsample)."""
+    convs = []
+    for i in range(len(CPC_CONV_SPECS)):
+        convs.append(
+            {
+                "conv": {
+                    "w": _conv_w(sd[f"gEncoder.conv{i}.weight"]),
+                    "b": _j(sd[f"gEncoder.conv{i}.bias"]),
+                },
+                "norm": {
+                    "w": _j(np.asarray(sd[f"gEncoder.batchNorm{i}.weight"]).reshape(-1)),
+                    "b": _j(np.asarray(sd[f"gEncoder.batchNorm{i}.bias"]).reshape(-1)),
+                },
+            }
+        )
+    return {
+        "gEncoder": convs,
+        "gAR": {
+            "w_ih": _j(np.asarray(sd["gAR.baseNet.weight_ih_l0"]).T),
+            "w_hh": _j(np.asarray(sd["gAR.baseNet.weight_hh_l0"]).T),
+            "b_ih": _j(sd["gAR.baseNet.bias_ih_l0"]),
+            "b_hh": _j(sd["gAR.baseNet.bias_hh_l0"]),
+        },
+    }
+
+
+def import_vap_state_dict(sd: Mapping[str, np.ndarray], conf: VapConfig) -> Params:
+    """Full reference VapGPT state dict -> VapModel param pytree."""
+    params: Params = {"encoder": import_encoder_state_dict(sd, "encoder")}
+    for stack in ("ar_channel", "ar"):
+        n = _num_layers(sd, stack)
+        params[stack] = {
+            "layers": [_import_layer(sd, f"{stack}.layers.{i}") for i in range(n)]
+        }
+    if "ar.combinator.h0_a.weight" in sd:
+        params["ar"]["combinator"] = {
+            "h0_a": {"w": _j(sd["ar.combinator.h0_a.weight"])},
+            "h0_b": {"w": _j(sd["ar.combinator.h0_b.weight"])},
+            "ln": {
+                "w": _j(sd["ar.combinator.ln.weight"]),
+                "b": _j(sd["ar.combinator.ln.bias"]),
+            },
+        }
+    if "va_classifier.weight" in sd:
+        params["va_classifier"] = {
+            "w": _j(sd["va_classifier.weight"]),
+            "b": _j(sd["va_classifier.bias"]),
+        }
+    params["vap_head"] = {
+        "w": _j(sd["vap_head.weight"]),
+        "b": _j(sd["vap_head.bias"]),
+    }
+    return params
+
+
+# --------------------------------------------------------------------------
+# native checkpoints (orbax)
+# --------------------------------------------------------------------------
+def save_checkpoint(path: str, state: Any) -> None:
+    import orbax.checkpoint as ocp
+
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(path, state, force=True)
+
+
+def restore_checkpoint(path: str, template: Any = None) -> Any:
+    import orbax.checkpoint as ocp
+
+    with ocp.StandardCheckpointer() as ckptr:
+        if template is not None:
+            return ckptr.restore(path, template)
+        return ckptr.restore(path)

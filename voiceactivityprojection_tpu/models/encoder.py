@@ -1,0 +1,177 @@
+"""CPC audio encoder: 5-layer strided conv stack + GRU + causal downsample.
+
+Pipeline (waveform (B, 1, n_samples) or (B, n_samples) @ 16 kHz):
+
+  conv stack (k=10,8,4,4,4; s=5,4,2,2,2; symmetric pad 3,2,1,1,1;
+              ChannelNorm + ReLU after each)          -> 100 Hz, 256 ch
+  GRU(256 -> 256)                                     -> contextualized
+  causal downsample conv (k=5, s=2, left-pad 4)
+      + channel LayerNorm + GELU                      -> 50 Hz, 256 ch
+
+Contracts from the reference: encoder_components.py:73-104 (conv stack,
+NOT causal — symmetric padding replicated exactly for checkpoint parity),
+encoder_components.py:107-159 (GRU), vap/encoder.py:49-66 +
+encoder_components.py:428-499 (downsample = CConv1d + LayerNorm + GELU).
+
+Everything is feature-last (B, T, C). The module is functional:
+``init(key) -> params``; ``apply(params, waveform) -> (B, T50, 256)``.
+
+Streaming: ``apply_streaming`` carries (conv tail buffers, GRU hidden,
+downsample tail) so the SDS runtime processes 20 ms hops incrementally
+instead of recomputing the full 20 s context (reference recomputes:
+sds/run_sds.py:241; SURVEY.md §7.10).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from voiceactivityprojection_tpu.ops.conv import (
+    causal_conv1d,
+    channel_norm,
+    conv1d,
+    init_conv1d,
+    init_norm,
+    layer_norm,
+)
+from voiceactivityprojection_tpu.ops.gru import gru, gru_step, init_gru
+
+Params = Dict[str, Any]
+
+# (kernel, stride, pad) per conv layer — fixed by the pretrained CPC
+# architecture (encoder_components.py:83-92); total downsampling 160x.
+CPC_CONV_SPECS: Tuple[Tuple[int, int, int], ...] = (
+    (10, 5, 3),
+    (8, 4, 2),
+    (4, 2, 1),
+    (4, 2, 1),
+    (4, 2, 1),
+)
+CPC_DOWNSAMPLE = 160  # conv stack: 16 kHz -> 100 Hz
+DOWNSAMPLE_KERNEL = 5
+DOWNSAMPLE_STRIDE = 2  # 100 Hz -> 50 Hz
+TOTAL_DOWNSAMPLE = 320
+
+
+def init_encoder(key: jax.Array, dim: int = 256) -> Params:
+    keys = jax.random.split(key, 8)
+    convs = []
+    c_in = 1
+    for i, (k, s, p) in enumerate(CPC_CONV_SPECS):
+        convs.append(
+            {
+                "conv": init_conv1d(keys[i], k, c_in, dim),
+                "norm": init_norm(dim),
+            }
+        )
+        c_in = dim
+    return {
+        "gEncoder": convs,
+        "gAR": init_gru(keys[5], dim, dim),
+        "downsample": {
+            "conv": init_conv1d(keys[6], DOWNSAMPLE_KERNEL, dim, dim),
+            "ln": init_norm(dim),
+        },
+    }
+
+
+def _conv_stack(params: Params, x: jax.Array) -> jax.Array:
+    """(B, T, 1) samples -> (B, T/160, C) features @ 100 Hz."""
+    for layer, (k, s, p) in zip(params["gEncoder"], CPC_CONV_SPECS):
+        x = conv1d(x, layer["conv"]["w"], layer["conv"]["b"], stride=s, padding=(p, p))
+        x = channel_norm(x, layer["norm"]["w"], layer["norm"]["b"])
+        x = jax.nn.relu(x)
+    return x
+
+
+def _downsample(params: Params, x: jax.Array) -> jax.Array:
+    """(B, T, C) @ 100 Hz -> (B, ceil(T/2), C) @ 50 Hz."""
+    d = params["downsample"]
+    x = causal_conv1d(x, d["conv"]["w"], d["conv"]["b"], stride=DOWNSAMPLE_STRIDE)
+    x = layer_norm(x, d["ln"]["w"], d["ln"]["b"])
+    return jax.nn.gelu(x, approximate=False)
+
+
+def apply_encoder(params: Params, waveform: jax.Array) -> jax.Array:
+    """waveform (B, n) or (B, 1, n) -> (B, T50, C)."""
+    if waveform.ndim == 3:
+        assert waveform.shape[1] == 1, f"expected mono channel, got {waveform.shape}"
+        waveform = waveform[:, 0]
+    x = waveform[..., None]  # (B, n, 1)
+    z = _conv_stack(params, x)
+    z, _ = gru(params["gAR"], z)
+    return _downsample(params, z)
+
+
+# --------------------------------------------------------------------------
+# streaming
+# --------------------------------------------------------------------------
+class EncoderState(NamedTuple):
+    """Carry for incremental encoding.
+
+    conv_tails: per conv layer, the last (k - s) input columns seen
+                (symmetric padding means the first chunk is padded left
+                with `p` zeros; subsequent chunks consume the tail).
+    gru_h:      (B, H) GRU hidden.
+    down_tail:  last (k - s) = 3 downsample-input frames.
+    """
+
+    conv_tails: Tuple[jax.Array, ...]
+    gru_h: jax.Array
+    down_tail: jax.Array
+
+
+def init_encoder_state(params: Params, batch: int, dtype=jnp.float32) -> EncoderState:
+    tails = []
+    c_in = 1
+    dim = params["gAR"]["w_hh"].shape[0]
+    for (k, s, p) in CPC_CONV_SPECS:
+        # seed with `p` zeros of left padding (symmetric-pad equivalence for
+        # the first chunk); tail length must cover k - s overlap
+        tails.append(jnp.zeros((batch, max(k - s, p), c_in), dtype=dtype))
+        c_in = dim
+    return EncoderState(
+        conv_tails=tuple(tails),
+        gru_h=jnp.zeros((batch, dim), dtype=dtype),
+        down_tail=jnp.zeros((batch, DOWNSAMPLE_KERNEL - DOWNSAMPLE_STRIDE, dim), dtype=dtype),
+    )
+
+
+def apply_encoder_streaming(
+    params: Params, chunk: jax.Array, state: EncoderState
+) -> Tuple[jax.Array, EncoderState]:
+    """Incrementally encode a chunk of samples.
+
+    chunk: (B, n) with n a multiple of 320 (one 50 Hz frame = 320 samples).
+    Returns (features (B, n/320, C), new state).
+
+    Note: matches the non-streaming path only in steady state — the
+    reference conv stack is symmetrically padded, so the final `p` right-pad
+    columns differ at the signal's very end. Streaming trades that edge
+    effect (<= 3 samples @ 16 kHz) for O(chunk) incremental cost.
+    """
+    x = chunk[..., None]  # (B, n, 1)
+    new_tails = []
+    for layer, (k, s, p), tail in zip(
+        params["gEncoder"], CPC_CONV_SPECS, state.conv_tails
+    ):
+        x = jnp.concatenate([tail, x], axis=1)
+        keep = max(k - s, 0)
+        new_tails.append(x[:, x.shape[1] - keep :] if keep else x[:, :0])
+        x = conv1d(x, layer["conv"]["w"], layer["conv"]["b"], stride=s, padding=(0, 0))
+        x = channel_norm(x, layer["norm"]["w"], layer["norm"]["b"])
+        x = jax.nn.relu(x)
+
+    z, h = gru(params["gAR"], x, state.gru_h)
+
+    d = params["downsample"]
+    zc = jnp.concatenate([state.down_tail, z], axis=1)
+    keep = DOWNSAMPLE_KERNEL - DOWNSAMPLE_STRIDE
+    down_tail = zc[:, zc.shape[1] - keep :]
+    y = conv1d(zc, d["conv"]["w"], d["conv"]["b"], stride=DOWNSAMPLE_STRIDE, padding=(0, 0))
+    y = layer_norm(y, d["ln"]["w"], d["ln"]["b"])
+    y = jax.nn.gelu(y, approximate=False)
+    return y, EncoderState(tuple(new_tails), h, down_tail)

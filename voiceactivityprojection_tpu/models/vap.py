@@ -1,0 +1,351 @@
+"""VAP model assembly: stereo (VapModel) and mono (VapMonoModel).
+
+Architecture (reference: vap/model.py:125-268 stereo, 271-393 mono):
+
+  stereo: shared CPC encoder applied per channel -> per-channel GPT
+          (`ar_channel`, 1 layer) -> cross-channel GPTStereo (`ar`,
+          3 layers) -> heads: va_classifier Linear(dim->1) on x1/x2,
+          vap_head Linear(dim->256) on the combined x.
+  mono:   single-channel encoder + VAD conditioning added to features
+          (va_condition Linear(2->dim) [+ va_cond_history] -> LayerNorm),
+          two plain GPT stacks, vap_head only.
+
+The core is pure: ``forward(params, waveform, conf)``. The thin
+``VapModel`` class carries (conf, params) and jit-compiled entry points;
+training uses the pure functions directly under its own jit.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from voiceactivityprojection_tpu.config import VapConfig, VapMonoConfig
+from voiceactivityprojection_tpu.models.encoder import apply_encoder, init_encoder
+from voiceactivityprojection_tpu.models.transformer import (
+    apply_gpt,
+    apply_gpt_stereo,
+    init_gpt,
+    init_gpt_stereo,
+)
+from voiceactivityprojection_tpu.ops.codebook import (
+    entropy_bits,
+    get_labels,
+    probs_next_speaker_aggregate,
+)
+from voiceactivityprojection_tpu.ops.conv import init_norm, layer_norm
+from voiceactivityprojection_tpu.ops.losses import loss_vap
+from voiceactivityprojection_tpu.ops.vad import vad_fill_silences, vad_omit_spikes
+
+Params = Dict[str, Any]
+
+
+# --------------------------------------------------------------------------
+# init
+# --------------------------------------------------------------------------
+def init_vap(key: jax.Array, conf: VapConfig) -> Params:
+    ks = jax.random.split(key, 6)
+    dim = conf.dim
+    params: Params = {
+        "encoder": init_encoder(ks[0], conf.encoder_dim),
+        "ar_channel": init_gpt(ks[1], dim, conf.channel_layers, conf.num_heads),
+        "ar": init_gpt_stereo(ks[2], dim, conf.cross_layers, conf.num_heads),
+        "va_classifier": {
+            "w": 0.02 * jax.random.normal(ks[3], (1, dim)),
+            "b": jnp.zeros((1,)),
+        },
+        "vap_head": {
+            "w": 0.02 * jax.random.normal(ks[4], (conf.n_classes, dim)),
+            "b": jnp.zeros((conf.n_classes,)),
+        },
+    }
+    return params
+
+
+def init_vap_mono(key: jax.Array, conf: VapMonoConfig) -> Params:
+    ks = jax.random.split(key, 8)
+    dim = conf.dim
+    # orthogonal init for va_condition (vap/model.py:308-311)
+    w_cond = jax.nn.initializers.orthogonal()(ks[5], (dim, 2))
+    params: Params = {
+        "encoder": init_encoder(ks[0], conf.encoder_dim),
+        "ar_channel": init_gpt(ks[1], dim, conf.channel_layers, conf.num_heads),
+        "ar": init_gpt(ks[2], dim, conf.cross_layers, conf.num_heads),
+        "va_condition": {"w": w_cond, "b": jnp.zeros((dim,))},
+        "va_cond_ln": init_norm(dim),
+        "vap_head": {
+            "w": 0.02 * jax.random.normal(ks[4], (conf.n_classes, dim)),
+            "b": jnp.zeros((conf.n_classes,)),
+        },
+    }
+    if conf.va_history:
+        params["va_cond_history"] = {
+            "w": 0.02 * jax.random.normal(ks[6], (dim, conf.va_history_bins)),
+            "b": jnp.zeros((dim,)),
+        }
+    return params
+
+
+# --------------------------------------------------------------------------
+# forward (pure)
+# --------------------------------------------------------------------------
+def encode_audio(
+    params: Params, waveform: jax.Array
+) -> Tuple[jax.Array, jax.Array]:
+    """(B, 2, n_samples) -> per-channel (B, T, C) features; shared encoder
+    weights applied to each channel separately (vap/model.py:169-175)."""
+    assert waveform.ndim == 3 and waveform.shape[1] == 2, (
+        f"expected (B, 2, n_samples), got {waveform.shape}"
+    )
+    # stack channels into the batch dim: one encoder pass, twice the batch —
+    # better MXU utilization than two sequential calls
+    B = waveform.shape[0]
+    both = waveform.reshape(B * 2, waveform.shape[-1])
+    z = apply_encoder(params["encoder"], both)
+    z = z.reshape(B, 2, *z.shape[1:])
+    return z[:, 0], z[:, 1]
+
+
+def forward(
+    params: Params,
+    waveform: jax.Array,
+    conf: VapConfig,
+    rng: Optional[jax.Array] = None,
+    attention: bool = False,
+) -> Dict[str, jax.Array]:
+    """Stereo forward: waveform (B, 2, n) -> {"logits": (B, T, 256),
+    "vad": (B, T, 2)} (vap/model.py:249-268)."""
+    drop = conf.dropout if rng is not None else 0.0
+    r = jax.random.split(rng, 3) if rng is not None else (None, None, None)
+
+    x1, x2 = encode_audio(params, waveform)
+    o1 = apply_gpt(
+        params["ar_channel"], x1, num_heads=conf.num_heads,
+        dropout=drop, rng=r[0], attn_impl=conf.attn_impl, attention_out=attention,
+    )
+    o2 = apply_gpt(
+        params["ar_channel"], x2, num_heads=conf.num_heads,
+        dropout=drop, rng=r[1], attn_impl=conf.attn_impl, attention_out=attention,
+    )
+    out = apply_gpt_stereo(
+        params["ar"], o1["x"], o2["x"], num_heads=conf.num_heads,
+        dropout=drop, rng=r[2], attn_impl=conf.attn_impl, attention_out=attention,
+    )
+
+    v1 = out["x1"] @ params["va_classifier"]["w"].T + params["va_classifier"]["b"]
+    v2 = out["x2"] @ params["va_classifier"]["w"].T + params["va_classifier"]["b"]
+    vad = jnp.concatenate([v1, v2], axis=-1)
+    logits = out["x"] @ params["vap_head"]["w"].T + params["vap_head"]["b"]
+
+    ret = {"logits": logits, "vad": vad}
+    if attention:
+        ret["self_attn"] = jnp.stack([o1["attn"], o2["attn"]], axis=1)
+        ret["cross_attn"] = out["cross_attn"]
+        ret["cross_self_attn"] = out["self_attn"]
+    return ret
+
+
+def forward_mono(
+    params: Params,
+    waveform: jax.Array,
+    va: jax.Array,
+    conf: VapMonoConfig,
+    va_history: Optional[jax.Array] = None,
+    rng: Optional[jax.Array] = None,
+) -> Dict[str, jax.Array]:
+    """Mono forward with VAD conditioning (vap/model.py:367-393)."""
+    drop = conf.dropout if rng is not None else 0.0
+    r = jax.random.split(rng, 2) if rng is not None else (None, None)
+
+    if waveform.ndim == 3:
+        assert waveform.shape[1] == 1, f"expected (B, 1, n), got {waveform.shape}"
+        waveform = waveform[:, 0]
+    x = apply_encoder(params["encoder"], waveform)
+
+    # VAD conditioning (vap/model.py:354-359)
+    cond = va @ params["va_condition"]["w"].T + params["va_condition"]["b"]
+    if conf.va_history and va_history is not None and "va_cond_history" in params:
+        cond = cond + (
+            va_history @ params["va_cond_history"]["w"].T
+            + params["va_cond_history"]["b"]
+        )
+    cond = layer_norm(cond, params["va_cond_ln"]["w"], params["va_cond_ln"]["b"])
+    n = min(x.shape[1], cond.shape[1])
+    x = x[:, :n] + cond[:, :n]
+
+    x = apply_gpt(
+        params["ar_channel"], x, num_heads=conf.num_heads,
+        dropout=drop, rng=r[0], attn_impl=conf.attn_impl,
+    )["x"]
+    x = apply_gpt(
+        params["ar"], x, num_heads=conf.num_heads,
+        dropout=drop, rng=r[1], attn_impl=conf.attn_impl,
+    )["x"]
+
+    logits = x @ params["vap_head"]["w"].T + params["vap_head"]["b"]
+    return {"logits": logits, "vad": va}
+
+
+# --------------------------------------------------------------------------
+# derived outputs (pure)
+# --------------------------------------------------------------------------
+def probs_from_logits(
+    logits: jax.Array,
+    vad_logits: jax.Array,
+    conf: VapConfig,
+    vad: Optional[jax.Array] = None,
+) -> Dict[str, jax.Array]:
+    """softmax + entropy + p_now/p_future [+ per-frame loss when labels are
+    derivable from vad] (vap/model.py:180-225)."""
+    probs = jax.nn.softmax(logits, axis=-1)
+    ret = {
+        "probs": probs,
+        "vad": jax.nn.sigmoid(vad_logits),
+        "p_now": probs_next_speaker_aggregate(probs, 0, 1),
+        "p_future": probs_next_speaker_aggregate(probs, 2, 3),
+        "H": entropy_bits(probs),
+    }
+    if vad is not None:
+        labels = get_labels(vad, conf.bin_frames)
+        ret["loss"] = loss_vap(logits, labels, reduction="none")
+    return ret
+
+
+@partial(jax.jit, static_argnames=("conf",))
+def _probs_jit(params, waveform, conf):
+    out = forward(params, waveform, conf)
+    return probs_from_logits(out["logits"], out["vad"], conf)
+
+
+@partial(jax.jit, static_argnames=("conf",))
+def _probs_with_vad_jit(params, waveform, vad, conf):
+    out = forward(params, waveform, conf)
+    return probs_from_logits(out["logits"], out["vad"], conf, vad=vad)
+
+
+@partial(jax.jit, static_argnames=("conf",))
+def _forward_jit(params, waveform, conf):
+    return forward(params, waveform, conf)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("conf", "max_fill_silence_time", "max_omit_spike_time", "vad_cutoff"),
+)
+def _vad_jit(params, waveform, conf, max_fill_silence_time, max_omit_spike_time, vad_cutoff):
+    out = forward(params, waveform, conf)
+    v = (jax.nn.sigmoid(out["vad"]) >= vad_cutoff).astype(jnp.float32)
+    v = vad_fill_silences(v, max_fill_silence_time, conf.frame_hz)
+    v = vad_omit_spikes(v, max_omit_spike_time, conf.frame_hz)
+    return v
+
+
+# --------------------------------------------------------------------------
+# model classes
+# --------------------------------------------------------------------------
+class VapModel:
+    """Stereo VAP model: (conf, params) + jitted inference entry points."""
+
+    def __init__(self, conf: VapConfig, params: Params):
+        self.conf = conf
+        self.params = params
+
+    @classmethod
+    def init(cls, key: jax.Array, conf: Optional[VapConfig] = None) -> "VapModel":
+        conf = conf or VapConfig()
+        return cls(conf, init_vap(key, conf))
+
+    @classmethod
+    def from_torch_state_dict(
+        cls, path: str, conf: Optional[VapConfig] = None
+    ) -> "VapModel":
+        from voiceactivityprojection_tpu.models.checkpoint import (
+            load_torch_state_dict,
+            import_vap_state_dict,
+        )
+
+        conf = conf or VapConfig()
+        sd = load_torch_state_dict(path)
+        return cls(conf, import_vap_state_dict(sd, conf))
+
+    @property
+    def sample_rate(self) -> int:
+        return self.conf.sample_rate
+
+    @property
+    def frame_hz(self) -> int:
+        return self.conf.frame_hz
+
+    @property
+    def horizon_time(self) -> float:
+        return self.conf.horizon_time
+
+    def forward(self, waveform, attention: bool = False) -> Dict[str, jax.Array]:
+        if attention:  # weights output path is not jitted (analysis only)
+            return forward(self.params, jnp.asarray(waveform), self.conf, attention=True)
+        return _forward_jit(self.params, jnp.asarray(waveform), self.conf)
+
+    __call__ = forward
+
+    def probs(self, waveform, vad=None) -> Dict[str, jax.Array]:
+        waveform = jnp.asarray(waveform)
+        if vad is None:
+            return _probs_jit(self.params, waveform, self.conf)
+        return _probs_with_vad_jit(self.params, waveform, jnp.asarray(vad), self.conf)
+
+    def vad(
+        self,
+        waveform,
+        max_fill_silence_time: float = 0.02,
+        max_omit_spike_time: float = 0.02,
+        vad_cutoff: float = 0.5,
+    ) -> jax.Array:
+        return _vad_jit(
+            self.params,
+            jnp.asarray(waveform),
+            self.conf,
+            max_fill_silence_time,
+            max_omit_spike_time,
+            vad_cutoff,
+        )
+
+
+@partial(jax.jit, static_argnames=("conf",))
+def _mono_probs_jit(params, waveform, va, conf):
+    out = forward_mono(params, waveform, va, conf)
+    probs = jax.nn.softmax(out["logits"], axis=-1)
+    return {
+        "probs": probs,
+        "vad": va,
+        "p_now": probs_next_speaker_aggregate(probs, 0, 1),
+        "p_future": probs_next_speaker_aggregate(probs, 2, 3),
+        "H": entropy_bits(probs),
+    }
+
+
+class VapMonoModel:
+    """Mono VAP model with VAD conditioning (vap/model.py:271-393)."""
+
+    def __init__(self, conf: VapMonoConfig, params: Params):
+        self.conf = conf
+        self.params = params
+
+    @classmethod
+    def init(cls, key: jax.Array, conf: Optional[VapMonoConfig] = None) -> "VapMonoModel":
+        conf = conf or VapMonoConfig()
+        return cls(conf, init_vap_mono(key, conf))
+
+    def forward(self, waveform, va, va_history=None) -> Dict[str, jax.Array]:
+        return forward_mono(
+            self.params, jnp.asarray(waveform), jnp.asarray(va), self.conf, va_history
+        )
+
+    __call__ = forward
+
+    def probs(self, waveform, va) -> Dict[str, jax.Array]:
+        return _mono_probs_jit(
+            self.params, jnp.asarray(waveform), jnp.asarray(va), self.conf
+        )

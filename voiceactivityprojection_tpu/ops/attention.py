@@ -1,0 +1,160 @@
+"""Multi-head causal attention with ALiBi biases.
+
+Parity notes vs the reference (vap/modules.py:24-202):
+
+* scale = 1/sqrt(FULL model dim), not head dim — a quirk of the reference
+  (modules.py:52) that must be replicated for checkpoint parity.
+* ALiBi bias as implemented there is ``m_h * j`` for key position j plus a
+  causal -inf mask (modules.py:169-187). Since softmax is shift-invariant
+  per query row, this equals the canonical ``m_h * (j - i)``; we use the
+  canonical form (better numerics for long T, identical probabilities).
+* Slopes follow Press et al.'s power-of-2 recipe (modules.py:124-158) and
+  live in the param tree as non-trainable "m" (they are present in the
+  reference state dict, modules.py:116-121).
+
+Two implementations:
+* ``attention_dense`` — O(T^2) materialized, optionally returns weights
+  (for analysis/plotting parity with reference `attention=True`).
+* ``attention`` — dispatches to the Pallas flash kernel on TPU for long
+  sequences, else the dense path.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+Params = Dict[str, jax.Array]
+
+
+def alibi_slopes(num_heads: int) -> jnp.ndarray:
+    """Press et al. ALiBi slopes (contract of vap/modules.py:124-158)."""
+
+    def power_of_2(n: int):
+        start = 2.0 ** (-(2.0 ** -(math.log2(n) - 3)))
+        return [start * (start ** i) for i in range(n)]
+
+    if math.log2(num_heads).is_integer():
+        slopes = power_of_2(num_heads)
+    else:
+        closest = 2 ** math.floor(math.log2(num_heads))
+        slopes = (
+            power_of_2(closest)
+            + alibi_slopes(2 * closest).tolist()[0::2][: num_heads - closest]
+        )
+    return jnp.asarray(slopes, dtype=jnp.float32)
+
+
+def init_mha(key: jax.Array, dim: int, num_heads: int, std: float = 0.02) -> Params:
+    """QKV + output projections, all bias-free (modules.py:38-51), GPT-2
+    normal(0.02) init (modules.py:333-340); slopes stored as 'm'."""
+    ks = jax.random.split(key, 4)
+    shape = (dim, dim)
+    return {
+        "query": {"w": std * jax.random.normal(ks[0], shape)},
+        "key": {"w": std * jax.random.normal(ks[1], shape)},
+        "value": {"w": std * jax.random.normal(ks[2], shape)},
+        "proj": {"w": std * jax.random.normal(ks[3], shape)},
+        "m": alibi_slopes(num_heads),
+    }
+
+
+def _split_heads(x: jax.Array, num_heads: int) -> jax.Array:
+    B, T, D = x.shape
+    return x.reshape(B, T, num_heads, D // num_heads).transpose(0, 2, 1, 3)
+
+
+def _merge_heads(x: jax.Array) -> jax.Array:
+    B, H, T, Dh = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(B, T, H * Dh)
+
+
+def attention_dense(
+    params: Params,
+    q_in: jax.Array,
+    kv_in: jax.Array,
+    num_heads: int,
+    return_weights: bool = False,
+    dropout_rate: float = 0.0,
+    dropout_key: Optional[jax.Array] = None,
+) -> Tuple[jax.Array, Optional[jax.Array]]:
+    """q_in: (B, T, D) queries source; kv_in: (B, S, D) keys/values source.
+
+    Causal masking assumes T == S with aligned positions (self- or
+    cross-attention over the same timeline, as in the stereo model).
+    """
+    B, T, D = q_in.shape
+    scale = 1.0 / math.sqrt(D)  # full-dim scale (modules.py:52)
+
+    q = _split_heads(q_in @ params["query"]["w"].T, num_heads)
+    k = _split_heads(kv_in @ params["key"]["w"].T, num_heads)
+    v = _split_heads(kv_in @ params["value"]["w"].T, num_heads)
+
+    scores = jnp.einsum("bhid,bhjd->bhij", q, k) * scale
+    i = jnp.arange(T)[:, None]
+    j = jnp.arange(kv_in.shape[1])[None, :]
+    slopes = params["m"].astype(scores.dtype)
+    bias = slopes[:, None, None] * (j - i)[None, :, :]
+    scores = scores + bias
+    scores = jnp.where(j <= i, scores, -jnp.inf)
+
+    weights = jax.nn.softmax(scores, axis=-1)
+    w = weights
+    if dropout_rate > 0.0 and dropout_key is not None:
+        keep = jax.random.bernoulli(dropout_key, 1.0 - dropout_rate, w.shape)
+        w = jnp.where(keep, w / (1.0 - dropout_rate), 0.0)
+
+    out = jnp.einsum("bhij,bhjd->bhid", w, v)
+    out = _merge_heads(out) @ params["proj"]["w"].T
+    return out, (weights if return_weights else None)
+
+
+def attention(
+    params: Params,
+    q_in: jax.Array,
+    kv_in: jax.Array,
+    num_heads: int,
+    impl: str = "auto",
+    return_weights: bool = False,
+    dropout_rate: float = 0.0,
+    dropout_key: Optional[jax.Array] = None,
+) -> Tuple[jax.Array, Optional[jax.Array]]:
+    """Dispatching attention entry point.
+
+    impl="pallas" uses the fused flash kernel (TPU only, no weights out,
+    no attention dropout); "xla" forces the dense path; "auto" picks
+    pallas on TPU when weights aren't requested and dropout is off.
+    """
+    use_pallas = False
+    if impl == "pallas":
+        use_pallas = True
+    elif impl == "auto":
+        use_pallas = (
+            not return_weights
+            and (dropout_rate == 0.0 or dropout_key is None)
+            and q_in.shape[1] >= 256
+            and jax.default_backend() not in ("cpu",)
+        )
+    if use_pallas:
+        from voiceactivityprojection_tpu.ops.flash_alibi import flash_alibi_attention
+
+        D = q_in.shape[-1]
+        scale = 1.0 / math.sqrt(D)
+        q = _split_heads(q_in @ params["query"]["w"].T, num_heads)
+        k = _split_heads(kv_in @ params["key"]["w"].T, num_heads)
+        v = _split_heads(kv_in @ params["value"]["w"].T, num_heads)
+        out = flash_alibi_attention(q, k, v, params["m"], scale)
+        out = _merge_heads(out) @ params["proj"]["w"].T
+        return out, None
+    return attention_dense(
+        params,
+        q_in,
+        kv_in,
+        num_heads,
+        return_weights=return_weights,
+        dropout_rate=dropout_rate,
+        dropout_key=dropout_key,
+    )
