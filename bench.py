@@ -1,0 +1,86 @@
+"""Throughput benchmark: stereo VAP forward on 20 s chunks, real TPU chip.
+
+Prints ONE JSON line:
+  {"metric": "audio_seconds_per_second", "value": N, "unit": "audio_s/s",
+   "vs_baseline": N / 100.0}
+
+Baseline anchor (BASELINE.md): the driver target is >100x real-time
+audio-seconds per second per chip; `vs_baseline` is the ratio against that
+target. The reference publishes no GPU throughput numbers to compare
+against directly.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def main() -> None:
+    from voiceactivityprojection_tpu.config import VapConfig
+    from voiceactivityprojection_tpu.models.vap import forward, init_vap, probs_from_logits
+
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 16
+    chunk_s = 20.0
+    sr = 16_000
+    n = int(chunk_s * sr)
+
+    conf = VapConfig()  # full-size: dim 256, 1+3 layers, 4 heads
+    params = init_vap(jax.random.key(0), conf)
+
+    rng = np.random.default_rng(0)
+    # distinct input buffers so no runtime can dedupe identical dispatches
+    waveforms = [
+        jnp.asarray(rng.normal(size=(batch, 2, n)).astype(np.float32) * 0.1)
+        for _ in range(4)
+    ]
+
+    @jax.jit
+    def step(params, waveform):
+        out = forward(params, waveform, conf)
+        p = probs_from_logits(out["logits"], out["vad"], conf)
+        # scalar summary: forces full execution before the host fetch returns
+        return p["p_now"].sum() + p["H"].sum()
+
+    # compile + warmup (host fetch = hard synchronization)
+    t0 = time.time()
+    float(step(params, waveforms[0]))
+    compile_s = time.time() - t0
+
+    iters = 10
+    t0 = time.time()
+    acc = jnp.zeros(())
+    for i in range(iters):
+        # device-side accumulation chains the dependency (no per-iter host
+        # round-trip through the tunnel); the single float() at the end is
+        # the hard sync point
+        acc = acc + step(params, waveforms[i % len(waveforms)])
+    acc = float(acc)
+    elapsed = time.time() - t0
+    assert np.isfinite(acc)
+
+    audio_seconds = batch * chunk_s * iters
+    value = audio_seconds / elapsed
+    print(
+        json.dumps(
+            {
+                "metric": "audio_seconds_per_second",
+                "value": round(value, 2),
+                "unit": "audio_s/s",
+                "vs_baseline": round(value / 100.0, 3),
+            }
+        )
+    )
+    print(
+        f"# batch={batch} chunk={chunk_s}s iters={iters} "
+        f"elapsed={elapsed:.3f}s compile={compile_s:.1f}s "
+        f"platform={jax.devices()[0].platform} device={jax.devices()[0]}",
+        file=sys.stderr,
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,49 @@
+"""Flash-ALiBi kernel parity vs the dense reference (interpret mode on CPU)."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from voiceactivityprojection_tpu.ops.flash_alibi import (
+    _dense_reference,
+    flash_alibi_attention,
+)
+from voiceactivityprojection_tpu.ops.attention import alibi_slopes
+
+pytestmark = [pytest.mark.transformer, pytest.mark.slow]
+
+
+@pytest.mark.parametrize("T", [128, 256, 200])  # 200 exercises padding
+def test_flash_matches_dense(T):
+    B, H, Dh = 1, 2, 16
+    ks = jax.random.split(jax.random.key(0), 3)
+    q = jax.random.normal(ks[0], (B, H, T, Dh))
+    k = jax.random.normal(ks[1], (B, H, T, Dh))
+    v = jax.random.normal(ks[2], (B, H, T, Dh))
+    slopes = alibi_slopes(H)
+    scale = 0.125
+
+    want = np.asarray(_dense_reference(q, k, v, slopes, scale))
+    got = np.asarray(flash_alibi_attention(q, k, v, slopes, scale))
+    np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+def test_flash_gradients_match_dense():
+    B, H, T, Dh = 1, 2, 128, 8
+    ks = jax.random.split(jax.random.key(1), 3)
+    q = jax.random.normal(ks[0], (B, H, T, Dh))
+    k = jax.random.normal(ks[1], (B, H, T, Dh))
+    v = jax.random.normal(ks[2], (B, H, T, Dh))
+    slopes = alibi_slopes(H)
+
+    def f_flash(q, k, v):
+        return (flash_alibi_attention(q, k, v, slopes, 0.2) ** 2).sum()
+
+    def f_dense(q, k, v):
+        return (_dense_reference(q, k, v, slopes, 0.2) ** 2).sum()
+
+    gf = jax.grad(f_flash, argnums=(0, 1, 2))(q, k, v)
+    gd = jax.grad(f_dense, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gf, gd):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)

@@ -1,0 +1,169 @@
+"""Training-step tests: loss decreases, encoder freezing, LR plateau,
+early stopping, and data-parallel sharding over the 8-device CPU mesh."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from voiceactivityprojection_tpu.config import OptConfig, VapConfig
+from voiceactivityprojection_tpu.models.vap import init_vap
+from voiceactivityprojection_tpu.parallel.mesh import (
+    make_mesh,
+    replicate_tree,
+    shard_batch,
+)
+from voiceactivityprojection_tpu.train.step import (
+    EarlyStopping,
+    ReduceLROnPlateau,
+    get_learning_rate,
+    init_train_state,
+    loss_fn,
+    make_eval_step,
+    make_optimizer,
+    make_train_step,
+    set_learning_rate,
+)
+
+pytestmark = pytest.mark.train
+
+CONF = VapConfig(dim=16, encoder_dim=16, channel_layers=1, cross_layers=1)
+OPT = OptConfig()
+
+
+def small_batch(B=2, seconds=1.0, seed=0):
+    rng = np.random.default_rng(seed)
+    n = int(16000 * seconds)
+    frames = int(50 * seconds) + 100
+    return {
+        "waveform": rng.normal(size=(B, 2, n)).astype(np.float32) * 0.1,
+        "vad": (rng.random((B, frames, 2)) < 0.5).astype(np.float32),
+    }
+
+
+def test_train_step_decreases_loss():
+    params = init_vap(jax.random.key(0), CONF)
+    tx = make_optimizer(OPT, freeze_encoder=True)
+    state = init_train_state(params, tx)
+    step = make_train_step(CONF, tx)
+    batch = small_batch()
+    losses = []
+    for i in range(8):
+        state, metrics = step(state, batch, jax.random.key(i))
+        losses.append(float(metrics["loss"]))
+    assert losses[-1] < losses[0], f"loss did not decrease: {losses}"
+    assert int(state.step) == 8
+
+
+def test_frozen_encoder_unchanged():
+    params = init_vap(jax.random.key(0), CONF)
+    # the train step donates its input state, so snapshot before stepping
+    before = jax.tree.map(np.asarray, params)
+    tx = make_optimizer(OPT, freeze_encoder=True)
+    state = init_train_state(params, tx)
+    step = make_train_step(CONF, tx)
+    state, _ = step(state, small_batch(), jax.random.key(0))
+    for a, b in zip(
+        jax.tree.leaves(before["encoder"]), jax.tree.leaves(state.params["encoder"])
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # non-encoder params must move
+    moved = any(
+        not np.allclose(np.asarray(a), np.asarray(b))
+        for a, b in zip(
+            jax.tree.leaves(before["vap_head"]),
+            jax.tree.leaves(state.params["vap_head"]),
+        )
+    )
+    assert moved
+
+
+def test_unfrozen_encoder_trains():
+    params = init_vap(jax.random.key(0), CONF)
+    before = jax.tree.map(np.asarray, params["encoder"])
+    tx = make_optimizer(OPT, freeze_encoder=False)
+    state = init_train_state(params, tx)
+    step = make_train_step(CONF, tx)
+    state, _ = step(state, small_batch(), jax.random.key(0))
+    after = jax.tree.leaves(state.params["encoder"])
+    assert any(
+        not np.allclose(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree.leaves(before), after)
+    )
+
+
+def test_lr_plateau_and_early_stop():
+    params = init_vap(jax.random.key(0), CONF)
+    tx = make_optimizer(OPT, freeze_encoder=True)
+    state = init_train_state(params, tx)
+    assert get_learning_rate(state) == pytest.approx(OPT.learning_rate)
+
+    plateau = ReduceLROnPlateau(factor=0.5, patience=2)
+    state = plateau.update(state, 1.0)  # best
+    state = plateau.update(state, 1.1)  # bad 1
+    state = plateau.update(state, 1.2)  # bad 2
+    assert get_learning_rate(state) == pytest.approx(OPT.learning_rate)
+    state = plateau.update(state, 1.3)  # bad 3 > patience -> halve
+    assert get_learning_rate(state) == pytest.approx(OPT.learning_rate * 0.5)
+
+    es = EarlyStopping(patience=3)
+    assert not es.update(1.0)
+    assert not es.update(1.1)
+    assert not es.update(1.2)
+    assert es.update(1.3)  # 3rd bad epoch -> stop
+
+    state = set_learning_rate(state, 1e-5)
+    assert get_learning_rate(state) == pytest.approx(1e-5)
+
+
+def test_eval_step():
+    params = init_vap(jax.random.key(0), CONF)
+    ev = make_eval_step(CONF)
+    out = ev(params, small_batch())
+    assert set(out) == {"vap_loss", "vad_loss", "logits", "vad_logits"}
+    assert np.isfinite(float(out["vap_loss"]))
+
+
+@pytest.mark.parallel
+def test_data_parallel_step_matches_single_device():
+    """The sharded step over the 8-device mesh must produce the same loss
+    and updated params as the unsharded step (DP correctness)."""
+    mesh = make_mesh(n_data=8)
+    params = init_vap(jax.random.key(0), CONF)
+    params_copy = jax.tree.map(lambda x: jnp.array(np.asarray(x)), params)
+    tx = make_optimizer(OPT, freeze_encoder=True)
+    batch = small_batch(B=8, seconds=0.5)
+    rng = jax.random.key(7)
+
+    # single-device reference
+    state1 = init_train_state(params, tx)
+    step = make_train_step(CONF, tx)
+    state1, m1 = step(state1, batch, rng)
+
+    # sharded
+    state2 = init_train_state(params_copy, tx)
+    with jax.set_mesh(mesh):
+        state2 = replicate_tree(state2, mesh)
+        sbatch = shard_batch(batch, mesh)
+        step2 = make_train_step(CONF, tx)
+        state2, m2 = step2(state2, sbatch, rng)
+
+    assert float(m1["loss"]) == pytest.approx(float(m2["loss"]), rel=1e-5)
+    for a, b in zip(
+        jax.tree.leaves(state1.params["vap_head"]),
+        jax.tree.leaves(state2.params["vap_head"]),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+@pytest.mark.parallel
+def test_graft_entry_dryrun():
+    import sys, pathlib
+
+    sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+    import __graft_entry__ as g
+
+    fn, args = g.entry()
+    out = jax.eval_shape(fn, *args)
+    assert out["logits"].shape == (1, 100, 256)
+    g.dryrun_multichip(8)

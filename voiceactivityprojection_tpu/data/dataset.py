@@ -1,0 +1,183 @@
+"""Data pipeline implementing the reference's external-DataModule contract.
+
+The reference's training data module lives in a private repo (imported at
+vap/train.py:21); its batch contract is documented in README.md:35-42:
+
+    batch["waveform"]: (B, 2, n_samples)            # 20 s @ 16 kHz stereo
+    batch["vad"]:      (B, n_frames + horizon, 2)   # 1100 frames @ 50 Hz
+
+This module supplies that contract from a CSV manifest with columns:
+
+    audio_path,vad_path[,start,end]
+
+where `vad_path` is a vad_list JSON ([[ [s,e], ...] x2], like
+example/*_vad_list.json) and start/end optionally crop the session.
+`SlidingWindowDataset` slices each session into fixed `audio_duration`
+windows with `horizon` extra seconds of VAD. `VapDataLoader` batches with
+optional shuffling and a background prefetch thread (host-side NumPy; the
+device never sees ragged shapes).
+"""
+
+from __future__ import annotations
+
+import csv as _csv
+import queue
+import threading
+from typing import Dict, Iterator, List, Optional
+
+import numpy as np
+
+from voiceactivityprojection_tpu.ops.audio import load_waveform
+from voiceactivityprojection_tpu.ops.vad import vad_list_to_onehot, get_vad_list_subset
+from voiceactivityprojection_tpu.utils.io import read_json
+
+
+class SlidingWindowDataset:
+    """Fixed-duration windows over sessions listed in a CSV manifest."""
+
+    def __init__(
+        self,
+        csv_path: str,
+        audio_duration: float = 20.0,
+        horizon: float = 2.0,
+        sample_rate: int = 16_000,
+        frame_hz: int = 50,
+        overlap: float = 0.0,
+        mono: bool = False,
+    ):
+        self.audio_duration = audio_duration
+        self.horizon = horizon
+        self.sample_rate = sample_rate
+        self.frame_hz = frame_hz
+        self.mono = mono
+        self.n_samples = int(audio_duration * sample_rate)
+        self.n_frames = int((audio_duration + horizon) * frame_hz)
+
+        step = audio_duration - overlap
+        assert step > 0, "overlap must be smaller than audio_duration"
+
+        self.windows: List[Dict] = []
+        with open(csv_path) as f:
+            for row in _csv.DictReader(f):
+                start = float(row.get("start") or 0.0)
+                if row.get("end"):
+                    end = float(row["end"])
+                else:
+                    from voiceactivityprojection_tpu.ops.audio import get_audio_info
+
+                    end = get_audio_info(row["audio_path"])["duration"]
+                t = start
+                while t + audio_duration <= end:
+                    self.windows.append(
+                        {
+                            "audio_path": row["audio_path"],
+                            "vad_path": row["vad_path"],
+                            "start": t,
+                            "end": t + audio_duration,
+                        }
+                    )
+                    t += step
+
+    def __len__(self) -> int:
+        return len(self.windows)
+
+    def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
+        w = self.windows[idx]
+        x, _ = load_waveform(
+            w["audio_path"],
+            sample_rate=self.sample_rate,
+            start_time=w["start"],
+            end_time=w["end"],
+        )
+        if x.shape[0] == 1 and not self.mono:
+            x = np.concatenate([x, np.zeros_like(x)], axis=0)
+        if x.shape[-1] < self.n_samples:  # zero-pad ragged session tails
+            pad = self.n_samples - x.shape[-1]
+            x = np.pad(x, [(0, 0), (0, pad)])
+        x = x[:, : self.n_samples]
+
+        vad_list = read_json(w["vad_path"])
+        sub = get_vad_list_subset(vad_list, w["start"], w["end"] + self.horizon)
+        vad = vad_list_to_onehot(
+            sub, duration=self.audio_duration + self.horizon, frame_hz=self.frame_hz
+        )
+        if vad.shape[0] < self.n_frames:
+            vad = np.pad(vad, [(0, self.n_frames - vad.shape[0]), (0, 0)])
+        vad = vad[: self.n_frames]
+
+        return {
+            "waveform": x.astype(np.float32),
+            "vad": vad.astype(np.float32),
+            "session": w["audio_path"],
+        }
+
+
+class VapDataLoader:
+    """Batched iteration with shuffle + background prefetch."""
+
+    def __init__(
+        self,
+        dataset: SlidingWindowDataset,
+        batch_size: int = 16,
+        shuffle: bool = False,
+        drop_last: bool = True,
+        seed: int = 0,
+        prefetch: int = 2,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.rng = np.random.default_rng(seed)
+        self.prefetch = prefetch
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def _batches(self) -> Iterator[Dict[str, np.ndarray]]:
+        order = np.arange(len(self.dataset))
+        if self.shuffle:
+            self.rng.shuffle(order)
+        for i in range(0, len(order), self.batch_size):
+            idxs = order[i : i + self.batch_size]
+            if self.drop_last and len(idxs) < self.batch_size:
+                break
+            items = [self.dataset[int(j)] for j in idxs]
+            yield {
+                "waveform": np.stack([it["waveform"] for it in items]),
+                "vad": np.stack([it["vad"] for it in items]),
+            }
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        if self.prefetch <= 0:
+            yield from self._batches()
+            return
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        DONE = object()
+
+        def worker():
+            try:
+                for b in self._batches():
+                    q.put(b)
+            finally:
+                q.put(DONE)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is DONE:
+                break
+            yield item
+        t.join()
+
+
+def write_manifest(rows: List[Dict[str, str]], path: str) -> None:
+    """Helper: write an audio/vad manifest CSV."""
+    fields = ["audio_path", "vad_path", "start", "end"]
+    with open(path, "w", newline="") as f:
+        w = _csv.DictWriter(f, fieldnames=fields)
+        w.writeheader()
+        for r in rows:
+            w.writerow({k: r.get(k, "") for k in fields})

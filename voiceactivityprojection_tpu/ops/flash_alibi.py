@@ -1,0 +1,176 @@
+"""Pallas TPU flash attention with ALiBi bias (causal).
+
+The reference materializes (B, H, T, T) attention (vap/modules.py:93-109),
+which caps single-shot audio at ~164 s on a 24 GB GPU (run.py:223-229).
+This kernel streams key/value blocks with the online-softmax recurrence, so
+memory is O(T · d) and the single-shot ceiling moves to HBM-resident
+feature length instead.
+
+Layout: q, k, v are (B, H, T, Dh); the grid is (B*H, nq, nk) with the key
+axis innermost — VMEM scratch (running max, sum, accumulator) carries
+across nk iterations (TPU grid execution is sequential). Causal blocks
+with ik > iq are skipped via `pl.when`.
+
+ALiBi: bias(i, j) = slope_h * (j - i) for j <= i. The reference's
+`m_h * j` form (vap/modules.py:169-187) differs by a per-row constant that
+softmax cancels, so probabilities are identical while our form keeps
+logits <= 0 for numerical stability at long T.
+
+Backward: custom VJP that recomputes attention densely in XLA — training
+sequences are 1000 frames where O(T^2) is cheap; long-sequence use
+(extraction/streaming) is inference-only.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+DEFAULT_BLOCK_Q = 128
+DEFAULT_BLOCK_K = 128
+NEG_INF = -1e30
+
+
+def _flash_kernel(
+    slope_ref,  # (B*H,) SMEM scalar-prefetch — per-(b,h) ALiBi slopes
+    q_ref,      # (1, bq, dh) VMEM
+    k_ref,      # (1, bk, dh) VMEM
+    v_ref,      # (1, bk, dh) VMEM
+    o_ref,      # (1, bq, dh) VMEM
+    m_scr,      # (bq, 1) VMEM scratch — running max
+    l_scr,      # (bq, 1) VMEM scratch — running sum
+    acc_scr,    # (bq, dh) VMEM scratch — output accumulator
+    *,
+    scale: float,
+    block_q: int,
+    block_k: int,
+):
+    bh = pl.program_id(0)
+    iq = pl.program_id(1)
+    ik = pl.program_id(2)
+
+    @pl.when(ik == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    @pl.when(ik <= iq)
+    def _compute():
+        q = q_ref[0]  # (bq, dh)
+        k = k_ref[0]  # (bk, dh)
+        v = v_ref[0]
+
+        s = jax.lax.dot_general(
+            q, k,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale  # (bq, bk)
+
+        gq = iq * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
+        gk = ik * block_k + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
+        slope = slope_ref[bh]
+        s = s + slope * (gk - gq).astype(s.dtype)
+        s = jnp.where(gk <= gq, s, NEG_INF)
+
+        m_prev = m_scr[:]                      # (bq, 1)
+        m_cur = jnp.max(s, axis=1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        p = jnp.exp(s - m_new)                 # (bq, bk)
+        corr = jnp.exp(m_prev - m_new)         # (bq, 1)
+
+        l_scr[:] = corr * l_scr[:] + jnp.sum(p, axis=1, keepdims=True)
+        pv = jax.lax.dot_general(
+            p.astype(v.dtype), v,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc_scr[:] = corr * acc_scr[:] + pv
+        m_scr[:] = m_new
+
+    @pl.when(ik == iq)  # last contributing block for this query row
+    def _finalize():
+        o_ref[0] = (acc_scr[:] / l_scr[:]).astype(o_ref.dtype)
+
+
+def _flash_forward(
+    q: jax.Array, k: jax.Array, v: jax.Array, slopes: jax.Array, scale: float,
+    block_q: int = DEFAULT_BLOCK_Q, block_k: int = DEFAULT_BLOCK_K,
+) -> jax.Array:
+    B, H, T, Dh = q.shape
+    assert k.shape == v.shape == (B, H, T, Dh)
+
+    pad = (-T) % block_q
+    if pad:
+        # zero-pad time; padded queries produce garbage rows that we slice off,
+        # padded keys are masked by causality (gk > gq for every real query)
+        zp = [(0, 0), (0, 0), (0, pad), (0, 0)]
+        q, k, v = (jnp.pad(x, zp) for x in (q, k, v))
+    Tp = T + pad
+
+    bh = B * H
+    qf = q.reshape(bh, Tp, Dh)
+    kf = k.reshape(bh, Tp, Dh)
+    vf = v.reshape(bh, Tp, Dh)
+    slope_bh = jnp.broadcast_to(slopes[None, :], (B, H)).reshape(bh)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(bh, Tp // block_q, Tp // block_k),
+        in_specs=[
+            pl.BlockSpec((1, block_q, Dh), lambda b, i, j, *_: (b, i, 0)),
+            pl.BlockSpec((1, block_k, Dh), lambda b, i, j, *_: (b, j, 0)),
+            pl.BlockSpec((1, block_k, Dh), lambda b, i, j, *_: (b, j, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, Dh), lambda b, i, j, *_: (b, i, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, Dh), jnp.float32),
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(
+            _flash_kernel, scale=scale, block_q=block_q, block_k=block_k
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((bh, Tp, Dh), q.dtype),
+        interpret=jax.default_backend() == "cpu",  # tests run interpreted
+    )(slope_bh, qf, kf, vf)
+
+    out = out.reshape(B, H, Tp, Dh)
+    return out[:, :, :T] if pad else out
+
+
+def _dense_reference(q, k, v, slopes, scale):
+    """O(T^2) XLA attention with identical semantics (used for the VJP)."""
+    T = q.shape[2]
+    s = jnp.einsum("bhid,bhjd->bhij", q, k) * scale
+    i = jnp.arange(T)[:, None]
+    j = jnp.arange(T)[None, :]
+    s = s + slopes[None, :, None, None] * (j - i)
+    s = jnp.where(j <= i, s, -jnp.inf)
+    w = jax.nn.softmax(s, axis=-1)
+    return jnp.einsum("bhij,bhjd->bhid", w, v)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def flash_alibi_attention(q, k, v, slopes, scale):
+    return _flash_forward(q, k, v, slopes, scale)
+
+
+def _fwd(q, k, v, slopes, scale):
+    return _flash_forward(q, k, v, slopes, scale), (q, k, v, slopes)
+
+
+def _bwd(scale, res, g):
+    q, k, v, slopes = res
+    _, vjp = jax.vjp(lambda q, k, v, s: _dense_reference(q, k, v, s, scale), q, k, v, slopes)
+    return vjp(g)
+
+
+flash_alibi_attention.defvjp(_fwd, _bwd)

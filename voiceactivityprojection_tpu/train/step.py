@@ -1,0 +1,181 @@
+"""Training/eval steps: multitask loss, AdamW with frozen-encoder masking,
+plateau-adjustable learning rate.
+
+Semantics from the reference (vap/train.py:360-403, 378-395):
+  labels = objective.get_labels(batch.vad)   # 256-way projection indices
+  out    = forward(batch.waveform)
+  loss   = CE(logits, labels) + BCE(vad_logits, vad)
+  AdamW(lr 3.63e-4, wd 1e-3 on ALL params), ReduceLROnPlateau on val_loss.
+
+TPU design: the step is a pure jitted function; with batches sharded over
+the mesh's "data" axis and params replicated, XLA's sharding propagation
+inserts the gradient all-reduce (psum over ICI) — no explicit pmap/NCCL.
+The plateau schedule mutates `opt_state.hyperparams["learning_rate"]`
+host-side between epochs (optax.inject_hyperparams), mirroring Lightning's
+epoch-level ReduceLROnPlateau without rebuilding optimizer state.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from voiceactivityprojection_tpu.config import OptConfig, VapConfig
+from voiceactivityprojection_tpu.models.vap import forward
+from voiceactivityprojection_tpu.ops.codebook import get_labels
+from voiceactivityprojection_tpu.ops.losses import loss_vad, loss_vap
+
+Params = Dict[str, Any]
+
+
+class TrainState(NamedTuple):
+    params: Params
+    opt_state: Any
+    step: jax.Array
+
+
+def make_optimizer(opt_conf: OptConfig, freeze_encoder: bool = True):
+    """AdamW over all params (weight decay unmasked, like torch AdamW on
+    `self.parameters()`); encoder subtree frozen via set_to_zero when
+    freeze_encoder (vap/encoder.py:39-42)."""
+
+    @optax.inject_hyperparams
+    def make(learning_rate):
+        adamw = optax.adamw(
+            learning_rate,
+            b1=opt_conf.betas[0],
+            b2=opt_conf.betas[1],
+            weight_decay=opt_conf.weight_decay,
+        )
+        if not freeze_encoder:
+            return adamw
+
+        def labels(params):
+            return jax.tree_util.tree_map_with_path(
+                lambda path, _: "freeze"
+                if getattr(path[0], "key", None) == "encoder"
+                else "train",
+                params,
+            )
+
+        return optax.multi_transform(
+            {"train": adamw, "freeze": optax.set_to_zero()}, labels
+        )
+
+    return make(learning_rate=opt_conf.learning_rate)
+
+
+def init_train_state(params: Params, tx) -> TrainState:
+    return TrainState(params=params, opt_state=tx.init(params), step=jnp.zeros((), jnp.int32))
+
+
+def loss_fn(
+    params: Params,
+    batch: Dict[str, jax.Array],
+    conf: VapConfig,
+    rng: Optional[jax.Array] = None,
+) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+    """Multitask loss (vap/train.py:397-403)."""
+    labels = get_labels(batch["vad"], conf.bin_frames)
+    out = forward(params, batch["waveform"], conf, rng=rng)
+    lvap = loss_vap(out["logits"], labels)
+    lvad = loss_vad(out["vad"], batch["vad"])
+    return lvap + lvad, {"vap_loss": lvap, "vad_loss": lvad}
+
+
+def make_train_step(conf: VapConfig, tx):
+    """Returns a jitted (state, batch, rng) -> (state, metrics) step."""
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def train_step(state: TrainState, batch: Dict[str, jax.Array], rng: jax.Array):
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, batch, conf, rng
+        )
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        metrics = {"loss": loss, **aux}
+        return TrainState(params, opt_state, state.step + 1), metrics
+
+    return train_step
+
+
+def make_eval_step(conf: VapConfig):
+    """Jitted eval: losses + logits (events/metrics run host-side on these)."""
+
+    @jax.jit
+    def eval_step(params: Params, batch: Dict[str, jax.Array]):
+        labels = get_labels(batch["vad"], conf.bin_frames)
+        out = forward(params, batch["waveform"], conf)
+        lvap = loss_vap(out["logits"], labels)
+        lvad = loss_vad(out["vad"], batch["vad"])
+        return {
+            "vap_loss": lvap,
+            "vad_loss": lvad,
+            "logits": out["logits"],
+            "vad_logits": out["vad"],
+        }
+
+    return eval_step
+
+
+def get_learning_rate(state: TrainState) -> float:
+    return float(state.opt_state.hyperparams["learning_rate"])
+
+
+def set_learning_rate(state: TrainState, lr: float) -> TrainState:
+    """Host-side LR mutation for ReduceLROnPlateau (epoch granularity)."""
+    hp = dict(state.opt_state.hyperparams)
+    hp["learning_rate"] = jnp.asarray(lr, dtype=jnp.float32)
+    opt_state = state.opt_state._replace(hyperparams=hp)
+    return state._replace(opt_state=opt_state)
+
+
+class ReduceLROnPlateau:
+    """Host-side plateau schedule (torch semantics: factor, patience, min mode)."""
+
+    def __init__(self, factor: float = 0.5, patience: int = 2, mode: str = "min"):
+        self.factor = factor
+        self.patience = patience
+        self.mode = mode
+        self.best: Optional[float] = None
+        self.bad_epochs = 0
+
+    def update(self, state: TrainState, value: float) -> TrainState:
+        improved = self.best is None or (
+            value < self.best if self.mode == "min" else value > self.best
+        )
+        if improved:
+            self.best = value
+            self.bad_epochs = 0
+            return state
+        self.bad_epochs += 1
+        if self.bad_epochs > self.patience:
+            self.bad_epochs = 0
+            return set_learning_rate(state, get_learning_rate(state) * self.factor)
+        return state
+
+
+class EarlyStopping:
+    """Host-side early stop (vap/train.py:193-199 semantics)."""
+
+    def __init__(self, patience: int = 10, mode: str = "min"):
+        self.patience = patience
+        self.mode = mode
+        self.best: Optional[float] = None
+        self.bad_epochs = 0
+
+    def update(self, value: float) -> bool:
+        """Returns True when training should stop."""
+        improved = self.best is None or (
+            value < self.best if self.mode == "min" else value > self.best
+        )
+        if improved:
+            self.best = value
+            self.bad_epochs = 0
+            return False
+        self.bad_epochs += 1
+        return self.bad_epochs >= self.patience

@@ -1,0 +1,113 @@
+"""Plot utilities (core subset of reference vap/plot_utils.py:12-733).
+
+Implements the functions the CLI and probes actually use: mel-spectrogram
+panels, VAD overlays, next-speaker probability panels, and the stereo
+summary figure written by run.py (plot_utils.plot_stereo). Matplotlib with
+Agg-safe usage (no display required).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+
+def _plt():
+    import matplotlib
+
+    matplotlib.use("Agg", force=False)
+    import matplotlib.pyplot as plt
+
+    return plt
+
+
+def plot_melspectrogram(
+    waveform: np.ndarray,
+    ax,
+    n_mels: int = 80,
+    frame_time: float = 0.05,
+    sample_rate: int = 16_000,
+    cmap: str = "magma",
+):
+    """Log-mel image on an axis; hop chosen so columns align with model
+    frames (plot_utils.py mel panel behavior)."""
+    from voiceactivityprojection_tpu.ops.audio import log_mel_spectrogram
+
+    hop = int(frame_time * sample_rate)
+    mel = log_mel_spectrogram(
+        np.asarray(waveform), n_mels=n_mels, hop_length=hop, sample_rate=sample_rate
+    )
+    ax.imshow(mel, aspect="auto", origin="lower", interpolation="none", cmap=cmap)
+    ax.set_yticks([])
+    return ax
+
+
+def plot_vad(x: np.ndarray, vad: np.ndarray, ax, ypad: float = 0.0, color="w", **kw):
+    """Step-plot a binary VAD track scaled onto the current axis."""
+    y0, y1 = ax.get_ylim()
+    scaled = y0 + ypad + np.asarray(vad) * (y1 - y0 - 2 * ypad) * 0.95
+    ax.step(np.asarray(x), scaled, where="post", color=color, linewidth=2, **kw)
+    return ax
+
+
+def plot_next_speaker_probs(p: np.ndarray, ax, frame_hz: int = 50, color=("b", "orange")):
+    """Filled area plot of per-speaker next-speaker probability."""
+    p = np.asarray(p)
+    x = np.arange(p.shape[0]) / frame_hz
+    ax.fill_between(x, 0.5, p[:, 0], where=p[:, 0] >= 0.5, color=color[0], alpha=0.7)
+    ax.fill_between(x, p[:, 0], 0.5, where=p[:, 0] < 0.5, color=color[1], alpha=0.7)
+    ax.axhline(0.5, color="k", linewidth=0.8, linestyle=":")
+    ax.set_ylim([0, 1])
+    return ax
+
+
+def plot_stereo(
+    waveform: np.ndarray,
+    p_now: np.ndarray,
+    p_future: np.ndarray,
+    vad: np.ndarray,
+    savepath: Optional[str] = None,
+    frame_hz: int = 50,
+    sample_rate: int = 16_000,
+    figsize=(12, 8),
+):
+    """Summary figure: per-channel mel + model VAD, p_now, p_future panels
+    (contract of plot_utils.plot_stereo used at run.py:267-279)."""
+    plt = _plt()
+    fig, ax = plt.subplots(4, 1, figsize=figsize, sharex=True)
+
+    waveform = np.asarray(waveform)
+    T = np.asarray(p_now).shape[0]
+    x = np.arange(T) / frame_hz
+
+    plot_melspectrogram(waveform[0], ax=ax[0], sample_rate=sample_rate)
+    ax[0].set_ylabel("A")
+    ax[0].set_ylim([0, 80])
+    plot_vad(np.linspace(0, ax[0].get_xlim()[1], T), np.asarray(vad)[:T, 0], ax[0], ypad=2)
+
+    plot_melspectrogram(waveform[1], ax=ax[1], sample_rate=sample_rate)
+    ax[1].set_ylabel("B")
+    ax[1].set_ylim([0, 80])
+    plot_vad(np.linspace(0, ax[1].get_xlim()[1], T), np.asarray(vad)[:T, 1], ax[1], ypad=2)
+
+    plot_next_speaker_probs(np.asarray(p_now)[:T], ax[2], frame_hz)
+    ax[2].set_ylabel("p_now")
+    plot_next_speaker_probs(np.asarray(p_future)[:T], ax[3], frame_hz)
+    ax[3].set_ylabel("p_future")
+    ax[3].set_xlabel("time (s)")
+
+    plt.tight_layout()
+    if savepath:
+        fig.savefig(savepath, dpi=100)
+        plt.close(fig)
+    return fig, ax
+
+
+def plot_entropy(H: np.ndarray, ax, frame_hz: int = 50, color="g"):
+    H = np.asarray(H)
+    x = np.arange(H.shape[0]) / frame_hz
+    ax.plot(x, H, color=color, linewidth=2)
+    ax.set_ylim([0, 8])
+    ax.set_ylabel("H (bits)")
+    return ax
