@@ -1,0 +1,77 @@
+"""Evaluation CLI (mirrors reference vap/evaluation.py:245-322).
+
+    python evaluate.py --data_test_path test.csv \
+        [--checkpoint runs/.../ckpt_best | --state_dict sd.pt] \
+        [--out_dir eval] [--vap_* ...] [--event_* ...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import jax
+
+if os.environ.get("VAP_PLATFORM"):
+    jax.config.update("jax_platforms", os.environ["VAP_PLATFORM"])
+
+from voiceactivityprojection_tpu.config import DataConfig, EventConfig, VapConfig
+from voiceactivityprojection_tpu.data.dataset import SlidingWindowDataset, VapDataLoader
+from voiceactivityprojection_tpu.models.vap import VapModel, init_vap
+from voiceactivityprojection_tpu.train.evaluation import evaluate
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser(description="VAP evaluation")
+    parser.add_argument("--checkpoint", type=str, default="", help="orbax ckpt dir")
+    parser.add_argument("--state_dict", type=str, default="", help="torch .pt import")
+    parser.add_argument("--out_dir", type=str, default="eval")
+    parser.add_argument("--limit_batches", type=int, default=0)
+    parser.add_argument("--no_threshold_search", action="store_true")
+    VapConfig.add_argparse_args(parser)
+    DataConfig.add_argparse_args(parser)
+    EventConfig.add_argparse_args(parser)
+    args = parser.parse_args()
+
+    conf = VapConfig.args_to_conf(args)
+    data_conf = DataConfig.args_to_conf(args)
+    event_conf = EventConfig.args_to_conf(args)
+    assert data_conf.test_path, "--data_test_path is required"
+
+    if args.state_dict:
+        model = VapModel.from_torch_state_dict(args.state_dict, conf)
+    else:
+        model = VapModel(conf, init_vap(jax.random.key(0), conf))
+        if args.checkpoint:
+            from voiceactivityprojection_tpu.models.checkpoint import restore_checkpoint
+
+            restored = restore_checkpoint(
+                os.path.abspath(args.checkpoint), {"params": model.params}
+            )
+            model.params = restored["params"]
+            print(f"Restored checkpoint: {args.checkpoint}")
+        else:
+            print("WARNING: random-init weights")
+
+    loader = VapDataLoader(
+        SlidingWindowDataset(
+            data_conf.test_path,
+            audio_duration=data_conf.audio_duration,
+            horizon=data_conf.horizon_time,
+        ),
+        batch_size=data_conf.batch_size,
+        shuffle=False,
+    )
+    result = evaluate(
+        model, loader, event_conf,
+        out_dir=args.out_dir,
+        limit_batches=args.limit_batches or None,
+        threshold_search=not args.no_threshold_search,
+    )
+    for k, v in result.items():
+        print(f"{k}: {v}")
+    print(f"Saved -> {args.out_dir}/metrics.csv")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,154 @@
+"""End-to-end training-harness test: synthetic wav/vad corpus -> manifest ->
+Trainer.fit for 2 epochs -> metrics logged, checkpoint saved, loss finite.
+Also exercises the data pipeline, augmentations, and event metrics."""
+
+import json
+import os
+import wave
+
+import numpy as np
+import pytest
+import jax
+
+from voiceactivityprojection_tpu.config import (
+    DataConfig,
+    EventConfig,
+    OptConfig,
+    VapConfig,
+    VapMonoConfig,
+)
+from voiceactivityprojection_tpu.data.dataset import (
+    SlidingWindowDataset,
+    VapDataLoader,
+    write_manifest,
+)
+from voiceactivityprojection_tpu.train.loop import Trainer
+from voiceactivityprojection_tpu.utils.io import write_json
+
+pytestmark = [pytest.mark.train, pytest.mark.slow]
+
+SR = 16_000
+
+
+def write_wav(path, data):
+    """data: (2, n) float32."""
+    pcm = (np.clip(data.T, -1, 1) * 32767).astype(np.int16)
+    with wave.open(str(path), "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(SR)
+        w.writeframes(pcm.tobytes())
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    """3 synthetic 7 s dialogs with alternating speech bursts."""
+    root = tmp_path_factory.mktemp("corpus")
+    rows = []
+    rng = np.random.default_rng(0)
+    dur = 7.0
+    for i in range(3):
+        n = int(dur * SR)
+        wav = np.zeros((2, n), dtype=np.float32)
+        vl = [[], []]
+        t = 0.0
+        ch = i % 2
+        while t < dur - 1.0:
+            seg = rng.uniform(0.8, 2.0)
+            end = min(t + seg, dur)
+            s0, s1 = int(t * SR), int(end * SR)
+            wav[ch, s0:s1] = 0.1 * np.sin(
+                2 * np.pi * rng.uniform(100, 300) * np.arange(s1 - s0) / SR
+            )
+            vl[ch].append([round(t, 2), round(end, 2)])
+            t = end + rng.uniform(0.1, 0.6)
+            ch = 1 - ch
+        wav_path = root / f"dialog{i}.wav"
+        vad_path = root / f"dialog{i}_vad.json"
+        write_wav(wav_path, wav)
+        write_json(vl, str(vad_path))
+        rows.append({"audio_path": str(wav_path), "vad_path": str(vad_path)})
+    manifest = root / "manifest.csv"
+    write_manifest(rows, str(manifest))
+    return str(manifest)
+
+
+def test_dataset_contract(corpus):
+    ds = SlidingWindowDataset(corpus, audio_duration=4.0, horizon=2.0)
+    assert len(ds) == 3  # 7 s sessions -> one 4 s window each
+    item = ds[0]
+    assert item["waveform"].shape == (2, 4 * SR)
+    assert item["vad"].shape == (300, 2)  # (4+2) s * 50 Hz
+    assert item["vad"].max() <= 1.0
+
+    dl = VapDataLoader(ds, batch_size=2, shuffle=True, drop_last=True)
+    batches = list(dl)
+    assert len(batches) == 1
+    assert batches[0]["waveform"].shape == (2, 2, 4 * SR)
+    assert batches[0]["vad"].shape == (2, 300, 2)
+
+
+def test_trainer_fit_stereo(corpus, tmp_path):
+    conf = VapConfig(dim=16, encoder_dim=16, channel_layers=1, cross_layers=1)
+    trainer = Trainer(
+        model_conf=conf,
+        opt_conf=OptConfig(patience=50),
+        data_conf=DataConfig(
+            train_path=corpus, val_path=corpus, batch_size=2, audio_duration=4.0
+        ),
+        event_conf=EventConfig(min_context_time=1.0, max_time=4.0,
+                               bc_negative_pad_left_time=0.4,
+                               bc_negative_pad_right_time=0.4),
+        max_epochs=2,
+        out_dir=str(tmp_path),
+        n_devices=2,
+    )
+    state = trainer.fit()
+    assert int(state.step) == 2 * 1  # 1 batch/epoch (3 windows, bs2, drop_last)
+
+    lines = [
+        json.loads(l)
+        for l in open(os.path.join(trainer.out_dir, "metrics.jsonl"))
+    ]
+    assert len(lines) == 2
+    assert np.isfinite(lines[0]["loss"])
+    assert "val_loss" in lines[0]
+    assert "val_hs_f1w" in lines[0]
+    # checkpoints exist
+    assert os.path.isdir(os.path.join(trainer.out_dir, "ckpt_best"))
+    assert os.path.isdir(os.path.join(trainer.out_dir, "ckpt_last"))
+
+
+def test_trainer_fit_mono(corpus, tmp_path):
+    conf = VapMonoConfig(dim=16, encoder_dim=16, channel_layers=1, cross_layers=1)
+    trainer = Trainer(
+        model_conf=conf,
+        opt_conf=OptConfig(),
+        data_conf=DataConfig(
+            train_path=corpus, batch_size=2, audio_duration=4.0, flip_channels=False
+        ),
+        event_conf=EventConfig(min_context_time=1.0, max_time=4.0,
+                               bc_negative_pad_left_time=0.4,
+                               bc_negative_pad_right_time=0.4),
+        max_epochs=1,
+        out_dir=str(tmp_path),
+        n_devices=2,
+    )
+    state = trainer.fit()
+    assert int(state.step) == 1
+
+
+def test_checkpoint_roundtrip(corpus, tmp_path):
+    from voiceactivityprojection_tpu.models.checkpoint import (
+        restore_checkpoint,
+        save_checkpoint,
+    )
+    from voiceactivityprojection_tpu.models.vap import init_vap
+
+    conf = VapConfig(dim=16, encoder_dim=16, channel_layers=1, cross_layers=1)
+    params = init_vap(jax.random.key(0), conf)
+    path = str(tmp_path / "ckpt")
+    save_checkpoint(path, {"params": params})
+    restored = restore_checkpoint(path, {"params": params})
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(restored["params"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -88,6 +88,7 @@ class SlidingWindowDataset:
             sample_rate=self.sample_rate,
             start_time=w["start"],
             end_time=w["end"],
+            mono=self.mono,  # mixdown for the mono model's 1-channel input
         )
         if x.shape[0] == 1 and not self.mono:
             x = np.concatenate([x, np.zeros_like(x)], axis=0)

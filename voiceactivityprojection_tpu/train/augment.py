@@ -1,0 +1,132 @@
+"""Batch callbacks + waveform augmentations.
+
+Mirrors the reference's training-time batch mutations:
+* `SymmetricSpeakers` — flip stereo channels + VAD channels with p=0.5
+  (vap/callbacks.py:33-79); the model should be speaker-symmetric.
+* `Augmentation` — randomly apply one of {gaussian noise, frequency
+  masking, naive pitch shift} (vap/transforms.py:11-138). The reference's
+  PitchShift uses torchaudio (sox); parselmouth/torchaudio are unavailable
+  here, so pitch shift is a polyphase resample-and-crop approximation
+  (shifts pitch AND tempo; serviceable as augmentation, not for probes —
+  the prosody probes in data/phrases use the DSP module instead).
+
+All transforms are pure functions over (batch, key); device-side where it
+matters (noise, freq-mask via jit), host-side NumPy for resample.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def flip_channels(
+    batch: Dict[str, jax.Array], key: jax.Array, prob: float = 0.5
+) -> Dict[str, jax.Array]:
+    """Per-sample random stereo+VAD channel flip (vap/callbacks.py:44-66)."""
+    B = batch["waveform"].shape[0]
+    flip = jax.random.bernoulli(key, prob, (B,))
+    wf = jnp.where(flip[:, None, None], batch["waveform"][:, ::-1], batch["waveform"])
+    vad = jnp.where(flip[:, None, None], batch["vad"][:, :, ::-1], batch["vad"])
+    out = dict(batch)
+    out["waveform"] = wf
+    out["vad"] = vad
+    return out
+
+
+@partial(jax.jit, static_argnames=("amplitude",))
+def add_gaussian_noise(
+    waveform: jax.Array, key: jax.Array, amplitude: float = 0.01
+) -> jax.Array:
+    """(vap/transforms.py:74-90)."""
+    return waveform + amplitude * jax.random.normal(key, waveform.shape, waveform.dtype)
+
+
+@partial(jax.jit, static_argnames=("n_fft", "hop", "max_mask_bins"))
+def frequency_mask(
+    waveform: jax.Array,
+    key: jax.Array,
+    n_fft: int = 400,
+    hop: int = 200,
+    max_mask_bins: int = 40,
+) -> jax.Array:
+    """STFT -> zero a random frequency band -> iSTFT
+    (vap/transforms.py:110-138 uses torchaudio FrequencyMasking)."""
+    from jax.scipy.signal import istft, stft
+
+    k1, k2 = jax.random.split(key)
+    shape = waveform.shape
+    x = waveform.reshape(-1, shape[-1])
+    f, t, Z = stft(x, nperseg=n_fft, noverlap=n_fft - hop)
+    n_bins = Z.shape[-2]
+    width = jax.random.randint(k1, (), 0, max_mask_bins + 1)
+    start = jax.random.randint(k2, (), 0, jnp.maximum(n_bins - width, 1))
+    bins = jnp.arange(n_bins)
+    mask = (bins >= start) & (bins < start + width)
+    Z = jnp.where(mask[None, :, None], 0.0, Z)
+    _, y = istft(Z, nperseg=n_fft, noverlap=n_fft - hop)
+    y = y[..., : shape[-1]]
+    pad = shape[-1] - y.shape[-1]
+    if pad > 0:
+        y = jnp.pad(y, [(0, 0), (0, pad)])
+    return y.reshape(shape).astype(waveform.dtype)
+
+
+def naive_pitch_shift(
+    waveform: np.ndarray, n_semitones: float
+) -> np.ndarray:
+    """Resample-and-crop pitch shift (host-side). Shifts formants and tempo
+    together — an augmentation approximation of torchaudio PitchShift."""
+    from voiceactivityprojection_tpu.ops.audio import resample
+
+    factor = 2.0 ** (n_semitones / 12.0)
+    sr = 16_000
+    new_sr = int(round(sr * factor))
+    y = resample(np.asarray(waveform), new_sr, sr)
+    n = waveform.shape[-1]
+    if y.shape[-1] < n:
+        y = np.pad(y, [(0, 0)] * (y.ndim - 1) + [(0, n - y.shape[-1])])
+    return y[..., :n]
+
+
+class Augmentation:
+    """Randomly apply one augmentation per batch (vap/transforms.py:11-71).
+
+    probability: chance that ANY augmentation is applied to the batch.
+    """
+
+    def __init__(
+        self,
+        noise_amplitude: float = 0.01,
+        max_pitch_semitones: int = 2,
+        probability: float = 0.5,
+        seed: int = 0,
+    ):
+        self.noise_amplitude = noise_amplitude
+        self.max_pitch = max_pitch_semitones
+        self.probability = probability
+        self.np_rng = np.random.default_rng(seed)
+
+    def __call__(self, batch: Dict, key: jax.Array) -> Dict:
+        if self.np_rng.random() >= self.probability:
+            return batch
+        choice = self.np_rng.integers(0, 3)
+        out = dict(batch)
+        if choice == 0:
+            out["waveform"] = add_gaussian_noise(
+                jnp.asarray(batch["waveform"]), key, self.noise_amplitude
+            )
+        elif choice == 1:
+            out["waveform"] = frequency_mask(jnp.asarray(batch["waveform"]), key)
+        else:
+            semis = float(self.np_rng.uniform(1, self.max_pitch + 1)) * (
+                1 if self.np_rng.random() < 0.5 else -1
+            )
+            out["waveform"] = jnp.asarray(
+                naive_pitch_shift(np.asarray(batch["waveform"]), semis)
+            )
+        return out

@@ -1,0 +1,255 @@
+"""Training harness: the Lightning-free equivalent of VAPModel + Trainer
+(reference: vap/train.py:147-240, 360-462).
+
+Per epoch:
+  train: channel-flip + augmentation -> sharded train_step (data-parallel
+         over the mesh) -> running loss
+  val:   eval_step losses + host-side event extraction -> event Accuracy/F1
+         (vap/train.py:405-462 semantics)
+  then:  ReduceLROnPlateau on val_loss, best-checkpoint save (orbax),
+         EarlyStopping (vap/train.py:187-199).
+
+Logging: JSONL (one record per epoch) + stdout — the W&B-equivalent
+observability surface, offline-first.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import asdict
+from typing import Dict, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from voiceactivityprojection_tpu.config import (
+    DataConfig,
+    EventConfig,
+    OptConfig,
+    VapConfig,
+)
+from voiceactivityprojection_tpu.data.dataset import SlidingWindowDataset, VapDataLoader
+from voiceactivityprojection_tpu.events.events import TurnTakingEvents
+from voiceactivityprojection_tpu.events.metrics import (
+    EventMetrics,
+    extract_prediction_and_targets,
+)
+from voiceactivityprojection_tpu.models.checkpoint import save_checkpoint
+from voiceactivityprojection_tpu.models.vap import init_vap
+from voiceactivityprojection_tpu.ops.codebook import get_probs
+from voiceactivityprojection_tpu.parallel.mesh import make_mesh, replicate_tree, shard_batch
+from voiceactivityprojection_tpu.train.augment import Augmentation, flip_channels
+from voiceactivityprojection_tpu.train.step import (
+    EarlyStopping,
+    ReduceLROnPlateau,
+    TrainState,
+    get_learning_rate,
+    init_train_state,
+    make_eval_step,
+    make_optimizer,
+    make_train_step,
+)
+
+
+def run_name(conf: VapConfig) -> str:
+    """Architecture-encoding run name (vap/train.py:137-144)."""
+    return (
+        f"VapGPT_{conf.frame_hz}Hz_ad{int(20)}s_{conf.channel_layers}"
+        f"{conf.cross_layers}{conf.num_heads}"
+    )
+
+
+class JsonlLogger:
+    def __init__(self, path: Optional[str]):
+        self.path = path
+        if path:
+            os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+            self.f = open(path, "a")
+        else:
+            self.f = None
+
+    def log(self, record: Dict) -> None:
+        msg = " ".join(
+            f"{k}={v:.4f}" if isinstance(v, float) else f"{k}={v}"
+            for k, v in record.items()
+        )
+        print(msg, flush=True)
+        if self.f:
+            self.f.write(json.dumps(record) + "\n")
+            self.f.flush()
+
+    def close(self):
+        if self.f:
+            self.f.close()
+
+
+class Trainer:
+    def __init__(
+        self,
+        model_conf: Optional[VapConfig] = None,
+        opt_conf: Optional[OptConfig] = None,
+        data_conf: Optional[DataConfig] = None,
+        event_conf: Optional[EventConfig] = None,
+        max_epochs: int = 100,
+        seed: int = 0,
+        out_dir: str = "runs",
+        n_devices: Optional[int] = None,
+        limit_batches: Optional[int] = None,
+    ):
+        self.model_conf = model_conf or VapConfig()
+        self.opt_conf = opt_conf or OptConfig()
+        self.data_conf = data_conf or DataConfig()
+        self.event_conf = event_conf or EventConfig()
+        self.max_epochs = max_epochs
+        self.seed = seed
+        self.limit_batches = limit_batches
+
+        self.name = run_name(self.model_conf)
+        self.out_dir = os.path.join(out_dir, self.name)
+        os.makedirs(self.out_dir, exist_ok=True)
+        self.logger = JsonlLogger(os.path.join(self.out_dir, "metrics.jsonl"))
+
+        self.mono = bool(getattr(self.model_conf, "mono", False))
+        self.mesh = make_mesh(n_data=n_devices)
+        self.tx = make_optimizer(self.opt_conf, self.model_conf.freeze_encoder)
+        if self.mono:
+            from voiceactivityprojection_tpu.train.step import (
+                make_eval_step_mono,
+                make_train_step_mono,
+            )
+
+            self.train_step = make_train_step_mono(self.model_conf, self.tx)
+            self.eval_step = make_eval_step_mono(self.model_conf)
+        else:
+            self.train_step = make_train_step(self.model_conf, self.tx)
+            self.eval_step = make_eval_step(self.model_conf)
+        self.event_extractor = TurnTakingEvents(self.event_conf, seed=seed)
+        self.augment = Augmentation(seed=seed)
+        self.plateau = ReduceLROnPlateau(
+            factor=self.opt_conf.lr_scheduler_factor,
+            patience=self.opt_conf.lr_scheduler_patience,
+        )
+        self.early_stop = EarlyStopping(patience=self.opt_conf.patience)
+
+    # ------------------------------------------------------------------
+    def make_loaders(self):
+        dc = self.data_conf
+        mk = lambda path, shuffle: VapDataLoader(
+            SlidingWindowDataset(
+                path,
+                audio_duration=dc.audio_duration,
+                horizon=dc.horizon_time,
+                sample_rate=dc.sample_rate,
+                frame_hz=dc.frame_hz,
+                mono=self.mono,
+            ),
+            batch_size=dc.batch_size,
+            shuffle=shuffle,
+            seed=self.seed,
+        )
+        train = mk(dc.train_path, True) if dc.train_path else None
+        val = mk(dc.val_path, False) if dc.val_path else None
+        return train, val
+
+    # ------------------------------------------------------------------
+    def fit(self) -> TrainState:
+        train_loader, val_loader = self.make_loaders()
+        assert train_loader is not None, "data_conf.train_path is required"
+
+        if self.mono:
+            from voiceactivityprojection_tpu.models.vap import init_vap_mono
+
+            params = init_vap_mono(jax.random.key(self.seed), self.model_conf)
+        else:
+            params = init_vap(jax.random.key(self.seed), self.model_conf)
+        state = init_train_state(params, self.tx)
+        with jax.set_mesh(self.mesh):
+            state = replicate_tree(state, self.mesh)
+            key = jax.random.key(self.seed + 1)
+            best_val = float("inf")
+
+            for epoch in range(self.max_epochs):
+                # ---- train
+                t0 = time.time()
+                losses = []
+                for i, batch in enumerate(train_loader):
+                    if self.limit_batches and i >= self.limit_batches:
+                        break
+                    key, k1, k2, k3 = jax.random.split(key, 4)
+                    if self.data_conf.flip_channels and not self.mono:
+                        batch = flip_channels(
+                            {k: jnp.asarray(v) for k, v in batch.items()},
+                            k1, self.data_conf.flip_probability,
+                        )
+                    batch = self.augment(batch, k2)
+                    batch = shard_batch(
+                        {k: np.asarray(v) for k, v in batch.items()}, self.mesh
+                    )
+                    state, metrics = self.train_step(state, batch, k3)
+                    losses.append(float(metrics["loss"]))
+                train_loss = float(np.mean(losses)) if losses else float("nan")
+
+                record = {
+                    "epoch": epoch,
+                    "loss": train_loss,
+                    "lr": get_learning_rate(state),
+                    "train_s": round(time.time() - t0, 1),
+                }
+
+                # ---- validate
+                if val_loader is not None:
+                    val = self.validate(state.params, val_loader)
+                    record.update(val)
+                    val_loss = val["val_loss"]
+                    state = self.plateau.update(state, val_loss)
+                    if val_loss < best_val:
+                        best_val = val_loss
+                        self.save(state, "best")
+                    if self.early_stop.update(val_loss):
+                        record["early_stop"] = True
+                        self.logger.log(record)
+                        break
+                self.logger.log(record)
+            self.save(state, "last")
+        return state
+
+    # ------------------------------------------------------------------
+    def validate(self, params, val_loader, split: str = "val") -> Dict[str, float]:
+        vap_losses, vad_losses = [], []
+        em = EventMetrics()
+        for i, batch in enumerate(val_loader):
+            if self.limit_batches and i >= self.limit_batches:
+                break
+            jbatch = {k: jnp.asarray(v) for k, v in batch.items()}
+            out = self.eval_step(params, jbatch)
+            vap_losses.append(float(out["vap_loss"]))
+            vad_losses.append(float(out["vad_loss"]))
+
+            events = self.event_extractor(np.asarray(batch["vad"]))
+            probs = get_probs(out["logits"])
+            preds, targets = extract_prediction_and_targets(
+                np.asarray(probs["p_now"]), np.asarray(probs["p_future"]), events
+            )
+            em.update(preds, targets)
+
+        rec = {
+            f"{split}_loss": float(np.mean(vap_losses)) if vap_losses else float("nan"),
+            f"{split}_loss_va": float(np.mean(vad_losses)) if vad_losses else float("nan"),
+        }
+        rec.update({f"{split}_{k}": v for k, v in em.compute().items()})
+        return rec
+
+    # ------------------------------------------------------------------
+    def save(self, state: TrainState, tag: str) -> None:
+        path = os.path.abspath(os.path.join(self.out_dir, f"ckpt_{tag}"))
+        meta = {
+            "model_conf": asdict(self.model_conf),
+            "opt_conf": asdict(self.opt_conf),
+            "step": int(state.step),
+        }
+        with open(os.path.join(self.out_dir, f"ckpt_{tag}.json"), "w") as f:
+            json.dump(meta, f)
+        save_checkpoint(path, {"params": state.params})

@@ -103,6 +103,35 @@ def make_train_step(conf: VapConfig, tx):
     return train_step
 
 
+def loss_fn_mono(
+    params: Params,
+    batch: Dict[str, jax.Array],
+    conf,
+    rng: Optional[jax.Array] = None,
+) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+    """Mono multitask loss (reference train_mono.py shared_step: VAP CE only,
+    VAD is an input condition, not a target)."""
+    from voiceactivityprojection_tpu.models.vap import forward_mono
+
+    labels = get_labels(batch["vad"], conf.bin_frames)
+    out = forward_mono(params, batch["waveform"], batch["vad"], conf, rng=rng)
+    lvap = loss_vap(out["logits"], labels)
+    return lvap, {"vap_loss": lvap, "vad_loss": jnp.zeros(())}
+
+
+def make_train_step_mono(conf, tx):
+    @partial(jax.jit, donate_argnums=(0,))
+    def train_step(state: TrainState, batch: Dict[str, jax.Array], rng: jax.Array):
+        (loss, aux), grads = jax.value_and_grad(loss_fn_mono, has_aux=True)(
+            state.params, batch, conf, rng
+        )
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, opt_state, state.step + 1), {"loss": loss, **aux}
+
+    return train_step
+
+
 def make_eval_step(conf: VapConfig):
     """Jitted eval: losses + logits (events/metrics run host-side on these)."""
 
@@ -115,6 +144,24 @@ def make_eval_step(conf: VapConfig):
         return {
             "vap_loss": lvap,
             "vad_loss": lvad,
+            "logits": out["logits"],
+            "vad_logits": out["vad"],
+        }
+
+    return eval_step
+
+
+def make_eval_step_mono(conf):
+    from voiceactivityprojection_tpu.models.vap import forward_mono
+
+    @jax.jit
+    def eval_step(params: Params, batch: Dict[str, jax.Array]):
+        labels = get_labels(batch["vad"], conf.bin_frames)
+        out = forward_mono(params, batch["waveform"], batch["vad"], conf)
+        lvap = loss_vap(out["logits"], labels)
+        return {
+            "vap_loss": lvap,
+            "vad_loss": jnp.zeros(()),
             "logits": out["logits"],
             "vad_logits": out["vad"],
         }
