@@ -1,0 +1,88 @@
+"""Phrases corpus tests against the real reference data mount."""
+
+import os
+
+import numpy as np
+import pytest
+import jax
+
+from voiceactivityprojection_tpu.config import VapConfig
+from voiceactivityprojection_tpu.data.phrases import (
+    DEFAULT_PHRASES_ROOT,
+    PHRASE_CSV,
+    PhraseDataset,
+    PhraseProbe,
+    get_region_shift_probs,
+    load_phrase_dataframe,
+)
+from voiceactivityprojection_tpu.models.vap import VapModel
+
+pytestmark = pytest.mark.data
+
+CSV = os.path.join(DEFAULT_PHRASES_ROOT, PHRASE_CSV)
+needs_corpus = pytest.mark.skipif(not os.path.exists(CSV), reason="no phrases corpus")
+
+
+@needs_corpus
+def test_load_dataframe():
+    df = load_phrase_dataframe(CSV)
+    assert len(df) == 180  # 9 phrases x 2 lengths x 2 genders x 5 idx
+    row = df.iloc[0]
+    assert isinstance(row["words"], list)
+    assert isinstance(row["vad_list"], list)
+    assert row["ends"][-1] > 0
+
+
+@needs_corpus
+def test_phrase_dataset_fixed_shape():
+    ds = PhraseDataset()
+    a = ds[0]
+    b = ds[100]
+    # TPU-first: every sample padded to one corpus-wide shape
+    assert a["waveform"].shape == b["waveform"].shape == (2, ds.n_samples)
+    assert a["vad"].shape == b["vad"].shape == (ds.n_frames, 2)
+    assert a["waveform"][1].sum() == 0  # silent channel B
+    assert a["end"] < ds.n_frames
+
+
+@needs_corpus
+def test_get_sample_lookup():
+    ds = PhraseDataset()
+    s = ds.get_sample("student", "short", "female", 0)
+    assert s["phrase"] == "student"
+    assert s["long_short"] == "short"
+
+
+def test_region_shift_probs():
+    p = np.tile(np.arange(100, dtype=np.float32)[:, None], (1, 2))
+    h, pr, r = get_region_shift_probs(p, end=50, region_frames=10)
+    assert h.shape == (40,) and pr.shape == (10,) and r.shape == (10,)
+    assert pr[0] == 40 and r[0] == 50
+
+
+@needs_corpus
+@pytest.mark.slow
+def test_phrase_probe_subset():
+    """Probe a few batches with a tiny model end-to-end."""
+    conf = VapConfig(dim=16, encoder_dim=16, channel_layers=1, cross_layers=1)
+    model = VapModel.init(jax.random.key(0), conf)
+    probe = PhraseProbe(batch_size=4)
+    # limit corpus: monkeypatch df to 8 rows (2 long, keep both lengths)
+    df = probe.dset.df
+    sub = df[df["phrase"] == "student"]
+    import pandas as pd
+
+    probe.dset.df = pd.concat(
+        [sub[sub["long_short"] == "short"].iloc[:4],
+         sub[sub["long_short"] == "long"].iloc[:4]]
+    ).reset_index(drop=True)
+    means, stds = probe.extract_stats(model)
+    for k in ("short_now_hold", "short_future_pred"):
+        assert k in means and 0 <= means[k] <= 1
+    assert "long_scp_future_pred" in means
+    log = probe.val_log_stats(means)
+    assert set(log) == {
+        "val_ps_hold", "val_ps_pred", "val_ps_react",
+        "val_pl_hold", "val_pl_pred", "val_pl_react",
+        "val_pls_hold", "val_pls_pred", "val_pls_react",
+    }

@@ -1,0 +1,229 @@
+"""Synthetic phrases corpus: dataset + turn-shift probability probe.
+
+Mirrors reference vap/phrases/dataset.py:16-357: a 180-sample TTS corpus
+(9 phrase types x short/long x 2 genders x 5 voices, with alignments and a
+syntactic-completion-point `scp` column). Each sample is padded with 2 s
+of trailing silence and a silent channel-2, and the probe measures mean
+next-speaker-shift probability in hold / prediction / reactive regions
+around the end-of-turn (and SCP for long phrases).
+
+TPU-first: instead of per-batch dynamic padding (reference
+phrases_collate_fn, dataset.py:129-145), ALL samples are padded to one
+corpus-wide maximum length — a single XLA compilation covers the whole
+probe pass, and region slicing happens host-side.
+
+The corpus itself (csv + wavs) ships with the reference checkout; default
+root is the read-only mount."""
+
+from __future__ import annotations
+
+import ast
+import os
+from typing import Any, Dict, List, Optional, Tuple
+
+import numpy as np
+
+from voiceactivityprojection_tpu.ops.audio import load_waveform
+from voiceactivityprojection_tpu.ops.vad import vad_list_to_onehot
+from voiceactivityprojection_tpu.utils.units import time_to_frames, time_to_samples
+
+DEFAULT_PHRASES_ROOT = "/root/reference"
+PHRASE_CSV = "dataset_phrases/phrases.csv"
+
+# phrase -> word at the syntactic completion point (reference
+# vap/phrases/dataset.py:18-28)
+EXAMPLE_TO_SCP_WORD = {
+    "student": "student",
+    "psychology": "psychology",
+    "first_year": "student",
+    "basketball": "basketball",
+    "experiment": "before",
+    "live": "yourself",
+    "work": "side",
+    "bike": "bike",
+    "drive": "here",
+}
+
+
+def load_phrase_dataframe(csv_path: str):
+    """CSV with list-typed columns parsed (contract of
+    vap/phrases/dataset.py:31-56)."""
+    import pandas as pd
+
+    list_cols = [
+        "starts", "ends", "vad_list", "phone_starts", "phone_ends",
+        "words", "phones",
+    ]
+    converters = {c: ast.literal_eval for c in list_cols}
+    return pd.read_csv(csv_path, converters=converters)
+
+
+class PhraseDataset:
+    """360 phrase samples -> fixed-shape stereo batches."""
+
+    def __init__(
+        self,
+        root: str = DEFAULT_PHRASES_ROOT,
+        csv_path: Optional[str] = None,
+        sample_rate: int = 16_000,
+        audio_mono: bool = False,
+        silence: float = 2.0,
+        vad_hz: int = 50,
+        vad_horizon: float = 2.0,
+    ):
+        self.root = root
+        self.df = load_phrase_dataframe(csv_path or os.path.join(root, PHRASE_CSV))
+        self.sample_rate = sample_rate
+        self.audio_mono = audio_mono
+        self.silence = silence
+        self.vad_hz = vad_hz
+        self.vad_hop_time = 1.0 / vad_hz
+        self.vad_horizon = vad_horizon
+
+        # corpus-wide max duration -> single padded shape
+        self.max_time = float(
+            max(row["ends"][-1] for _, row in self.df.iterrows()) + silence
+        )
+        self.n_samples = time_to_samples(self.max_time, sample_rate)
+        self.n_frames = time_to_frames(self.max_time, self.vad_hop_time)
+
+    def __len__(self) -> int:
+        return len(self.df)
+
+    def get_sample(self, phrase: str, long_short: str, gender: str, phrase_idx: int):
+        m = self.df
+        row = m.loc[
+            (m["phrase"] == phrase)
+            & (m["long_short"] == long_short)
+            & (m["gender"] == gender)
+            & (m["phrase_idx"] == phrase_idx)
+        ].iloc[0]
+        return self._to_output(row)
+
+    def _to_output(self, row) -> Dict[str, Any]:
+        audio_path = os.path.join(self.root, row["audio_path"])
+        w, _ = load_waveform(audio_path, sample_rate=self.sample_rate, mono=True)
+        w = w[0]  # phrases are mono files
+
+        out = np.zeros(self.n_samples, dtype=np.float32)
+        out[: min(len(w), self.n_samples)] = w[: self.n_samples]
+        if self.audio_mono:
+            waveform = out[None]  # (1, n)
+        else:
+            waveform = np.stack([out, np.zeros_like(out)])  # silent channel B
+
+        vad = vad_list_to_onehot(
+            row["vad_list"], duration=self.max_time, hop_time=self.vad_hop_time
+        )
+        return {
+            "waveform": waveform,
+            "vad": vad,
+            "scp": time_to_frames(row["scp"], self.vad_hop_time),
+            "end": time_to_frames(row["ends"][-1], self.vad_hop_time),
+            "phrase": row["phrase"],
+            "long_short": row["long_short"],
+            "gender": row["gender"],
+            "phrase_idx": int(row["phrase_idx"]),
+            "audio_path": audio_path,
+            "words": row["words"],
+            "starts": row["starts"],
+            "ends": row["ends"],
+        }
+
+    def __getitem__(self, idx: int) -> Dict[str, Any]:
+        return self._to_output(self.df.iloc[idx])
+
+    def batches(self, batch_size: int = 10):
+        """Fixed-shape batches over the whole corpus."""
+        for i in range(0, len(self), batch_size):
+            items = [self[j] for j in range(i, min(i + batch_size, len(self)))]
+            yield {
+                "waveform": np.stack([it["waveform"] for it in items]),
+                "vad": np.stack([it["vad"] for it in items]),
+                "scp": [it["scp"] for it in items],
+                "end": [it["end"] for it in items],
+                "long_short": [it["long_short"] for it in items],
+                "phrase": [it["phrase"] for it in items],
+            }
+
+
+def get_region_shift_probs(
+    p: np.ndarray, end: int, region_frames: int, speaker: int = 1
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(hold, pred, react) shift-prob slices around frame `end`
+    (vap/phrases/dataset.py:148-158)."""
+    assert p.ndim == 2, f"expected (n_frames, 2), got {p.shape}"
+    pred_start = end - region_frames
+    react_end = end + region_frames
+    return (
+        p[:pred_start, speaker],
+        p[pred_start:end, speaker],
+        p[end:react_end, speaker],
+    )
+
+
+class PhraseProbe:
+    """Turn-shift probe over the phrase corpus (PhrasesCallback equivalent,
+    vap/phrases/dataset.py:161-300). Call `extract_stats(model)` to get
+    (means, stds) of shift probability per region/readout/length."""
+
+    def __init__(
+        self,
+        root: str = DEFAULT_PHRASES_ROOT,
+        region_time: float = 0.2,
+        silence: float = 2.0,
+        batch_size: int = 10,
+        mono: bool = False,
+    ):
+        self.dset = PhraseDataset(root=root, audio_mono=mono, silence=silence)
+        self.region_frames = time_to_frames(region_time, self.dset.vad_hop_time)
+        self.batch_size = batch_size
+
+    def extract_stats(self, model) -> Tuple[Dict[str, float], Dict[str, float]]:
+        from voiceactivityprojection_tpu.ops.codebook import get_probs
+        import jax.numpy as jnp
+
+        buckets: Dict[str, List[np.ndarray]] = {}
+
+        def add(name, arr):
+            buckets.setdefault(name, []).append(np.atleast_1d(arr))
+
+        for batch in self.dset.batches(self.batch_size):
+            out = model.forward(jnp.asarray(batch["waveform"]))
+            probs = get_probs(out["logits"])
+            probs = {k: np.asarray(v) for k, v in probs.items()}
+            for i in range(len(batch["end"])):
+                ls = batch["long_short"][i]
+                for pp in ("p_now", "p_future", "p_tot"):
+                    nm = pp.replace("p_", "")
+                    h, p, r = get_region_shift_probs(
+                        probs[pp][i], batch["end"][i], self.region_frames
+                    )
+                    add(f"{ls}_{nm}_hold", h)
+                    add(f"{ls}_{nm}_pred", p)
+                    add(f"{ls}_{nm}_react", r)
+                    if ls == "long":
+                        h, p, r = get_region_shift_probs(
+                            probs[pp][i], batch["scp"][i], self.region_frames
+                        )
+                        add(f"long_scp_{nm}_hold", h)
+                        add(f"long_scp_{nm}_pred", p)
+                        add(f"long_scp_{nm}_react", r)
+
+        means = {k: float(np.concatenate(v).mean()) for k, v in buckets.items()}
+        stds = {k: float(np.concatenate(v).std()) for k, v in buckets.items()}
+        return means, stds
+
+    def val_log_stats(self, means: Dict[str, float]) -> Dict[str, float]:
+        """The subset logged at validation epochs (dataset.py:252-266)."""
+        return {
+            "val_ps_hold": means["short_future_hold"],
+            "val_ps_pred": means["short_future_pred"],
+            "val_ps_react": means["short_now_react"],
+            "val_pl_hold": means["long_future_hold"],
+            "val_pl_pred": means["long_future_pred"],
+            "val_pl_react": means["long_now_react"],
+            "val_pls_hold": means["long_scp_future_hold"],
+            "val_pls_pred": means["long_scp_future_pred"],
+            "val_pls_react": means["long_scp_now_react"],
+        }
