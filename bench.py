@@ -18,17 +18,23 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from voiceactivityprojection_tpu.utils.runtime import setup_runtime
+
+setup_runtime()
+
 
 def main() -> None:
     from voiceactivityprojection_tpu.config import VapConfig
     from voiceactivityprojection_tpu.models.vap import forward, init_vap, probs_from_logits
 
-    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 16
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 64
     chunk_s = 20.0
     sr = 16_000
     n = int(chunk_s * sr)
 
-    conf = VapConfig()  # full-size: dim 256, 1+3 layers, 4 heads
+    # full-size model (dim 256, 1+3 layers, 4 heads); bfloat16 compute with
+    # f32 norms/softmax/heads (+60% over f32 at matched batch)
+    conf = VapConfig(dtype="bfloat16")
     params = init_vap(jax.random.key(0), conf)
 
     rng = np.random.default_rng(0)

@@ -12,8 +12,9 @@ import os
 
 import jax
 
-if os.environ.get("VAP_PLATFORM"):
-    jax.config.update("jax_platforms", os.environ["VAP_PLATFORM"])
+from voiceactivityprojection_tpu.utils.runtime import setup_runtime
+
+setup_runtime()
 
 from voiceactivityprojection_tpu.config import DataConfig, EventConfig, VapConfig
 from voiceactivityprojection_tpu.data.dataset import SlidingWindowDataset, VapDataLoader

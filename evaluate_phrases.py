@@ -24,8 +24,9 @@ from typing import Dict
 import numpy as np
 import jax
 
-if os.environ.get("VAP_PLATFORM"):
-    jax.config.update("jax_platforms", os.environ["VAP_PLATFORM"])
+from voiceactivityprojection_tpu.utils.runtime import setup_runtime
+
+setup_runtime()
 
 import jax.numpy as jnp
 

@@ -21,8 +21,9 @@ import jax
 
 # this image's site hook pins the TPU platform regardless of JAX_PLATFORMS;
 # VAP_PLATFORM=cpu forces CPU (used by tests/headless runs)
-if os.environ.get("VAP_PLATFORM"):
-    jax.config.update("jax_platforms", os.environ["VAP_PLATFORM"])
+from voiceactivityprojection_tpu.utils.runtime import setup_runtime
+
+setup_runtime()
 
 from voiceactivityprojection_tpu.config import VapConfig
 from voiceactivityprojection_tpu.inference.extraction import (

@@ -1,0 +1,37 @@
+"""Pallas GRU recurrence kernel parity (interpret mode on CPU)."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from voiceactivityprojection_tpu.ops.gru import gru, init_gru
+
+pytestmark = [pytest.mark.encoder, pytest.mark.slow]
+
+
+@pytest.mark.parametrize("B,T", [(1, 16), (3, 33), (8, 20)])
+def test_pallas_gru_matches_scan(B, T):
+    params = init_gru(jax.random.key(0), 128, 128)
+    x = jax.random.normal(jax.random.key(1), (B, T, 128))
+    ys_s, h_s = gru(params, x, impl="scan")
+    ys_p, h_p = gru(params, x, impl="pallas")
+    np.testing.assert_allclose(np.asarray(ys_s), np.asarray(ys_p), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(h_s), np.asarray(h_p), atol=1e-5)
+
+
+def test_pallas_gru_with_initial_state():
+    params = init_gru(jax.random.key(0), 128, 128)
+    x = jax.random.normal(jax.random.key(1), (2, 9, 128))
+    h0 = jax.random.normal(jax.random.key(2), (2, 128))
+    ys_s, _ = gru(params, x, h0=h0, impl="scan")
+    ys_p, _ = gru(params, x, h0=h0, impl="pallas")
+    np.testing.assert_allclose(np.asarray(ys_s), np.asarray(ys_p), atol=1e-5)
+
+
+def test_unsupported_hidden_falls_back():
+    # hidden 96 not lane-aligned -> auto must fall back to scan, not crash
+    params = init_gru(jax.random.key(0), 96, 96)
+    x = jax.random.normal(jax.random.key(1), (2, 7, 96))
+    ys, h = gru(params, x, impl="auto")
+    assert ys.shape == (2, 7, 96)

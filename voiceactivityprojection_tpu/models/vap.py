@@ -109,6 +109,17 @@ def encode_audio(
     return z[:, 0], z[:, 1]
 
 
+def _compute_cast(params: Params, waveform: jax.Array, conf: VapConfig):
+    """Mixed precision: params/activations in conf.dtype (norm statistics,
+    attention softmax, and head outputs stay float32)."""
+    if conf.dtype == "bfloat16":
+        cast = lambda x: (
+            x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x
+        )
+        return jax.tree.map(cast, params), waveform.astype(jnp.bfloat16)
+    return params, waveform
+
+
 def forward(
     params: Params,
     waveform: jax.Array,
@@ -117,10 +128,12 @@ def forward(
     attention: bool = False,
 ) -> Dict[str, jax.Array]:
     """Stereo forward: waveform (B, 2, n) -> {"logits": (B, T, 256),
-    "vad": (B, T, 2)} (vap/model.py:249-268)."""
+    "vad": (B, T, 2)} (vap/model.py:249-268). Outputs are float32 even in
+    bfloat16 compute mode."""
     drop = conf.dropout if rng is not None else 0.0
     r = jax.random.split(rng, 3) if rng is not None else (None, None, None)
 
+    params, waveform = _compute_cast(params, waveform, conf)
     x1, x2 = encode_audio(params, waveform)
     o1 = apply_gpt(
         params["ar_channel"], x1, num_heads=conf.num_heads,
@@ -137,8 +150,10 @@ def forward(
 
     v1 = out["x1"] @ params["va_classifier"]["w"].T + params["va_classifier"]["b"]
     v2 = out["x2"] @ params["va_classifier"]["w"].T + params["va_classifier"]["b"]
-    vad = jnp.concatenate([v1, v2], axis=-1)
-    logits = out["x"] @ params["vap_head"]["w"].T + params["vap_head"]["b"]
+    vad = jnp.concatenate([v1, v2], axis=-1).astype(jnp.float32)
+    logits = (out["x"] @ params["vap_head"]["w"].T + params["vap_head"]["b"]).astype(
+        jnp.float32
+    )
 
     ret = {"logits": logits, "vad": vad}
     if attention:

@@ -93,7 +93,10 @@ def attention_dense(
     k = _split_heads(kv_in @ params["key"]["w"].T, num_heads)
     v = _split_heads(kv_in @ params["value"]["w"].T, num_heads)
 
-    scores = jnp.einsum("bhid,bhjd->bhij", q, k) * scale
+    # scores + softmax in f32 regardless of compute dtype
+    scores = jnp.einsum(
+        "bhid,bhjd->bhij", q, k, preferred_element_type=jnp.float32
+    ) * scale
     i = jnp.arange(T)[:, None]
     j = jnp.arange(kv_in.shape[1])[None, :]
     slopes = params["m"].astype(scores.dtype)
@@ -101,7 +104,7 @@ def attention_dense(
     scores = scores + bias
     scores = jnp.where(j <= i, scores, -jnp.inf)
 
-    weights = jax.nn.softmax(scores, axis=-1)
+    weights = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
     w = weights
     if dropout_rate > 0.0 and dropout_key is not None:
         keep = jax.random.bernoulli(dropout_key, 1.0 - dropout_rate, w.shape)

@@ -29,6 +29,20 @@ HOP_LENGTH = 320
 
 def get_audio_info(path: str) -> Dict[str, Any]:
     """(contract of vap/audio.py:26-36)."""
+    from voiceactivityprojection_tpu.utils import native
+
+    info = native.wav_info(path) if native.available() else None
+    if info is not None:
+        sr, ch, n, bits = info
+        return {
+            "name": path,
+            "duration": n / sr,
+            "sample_rate": sr,
+            "num_frames": n,
+            "bits_per_sample": bits,
+            "num_channels": ch,
+            "encoding": "PCM",
+        }
     with wave.open(path, "rb") as w:
         frames = w.getnframes()
         sr = w.getframerate()
@@ -62,15 +76,29 @@ def load_waveform(
 ) -> Tuple[np.ndarray, int]:
     """Load (channels, n_samples) float32 in [-1, 1]; resample to
     `sample_rate`; optional [start_time, end_time) slice; optional mono
-    mixdown (contract of vap/audio.py:39-69)."""
-    from scipy.io import wavfile
+    mixdown (contract of vap/audio.py:39-69). Uses the native C++ decoder
+    (native/vapaudio.cpp) when built, else scipy."""
+    from voiceactivityprojection_tpu.utils import native
 
-    sr, data = wavfile.read(path, mmap=True)
-    if data.ndim == 1:
-        data = data[:, None]
-    start = int(start_time * sr) if start_time is not None else 0
-    end = int(end_time * sr) if end_time is not None else data.shape[0]
-    x = _pcm_to_float(np.asarray(data[start:end])).T  # (C, n)
+    x = None
+    if native.available():
+        info = native.wav_info(path)
+        if info is not None:
+            src_sr = info[0]
+            start = int(start_time * src_sr) if start_time is not None else 0
+            end = int(end_time * src_sr) if end_time is not None else info[2]
+            res = native.wav_read(path, start, max(end - start, 0))
+            if res is not None:
+                x, sr = res
+    if x is None:
+        from scipy.io import wavfile
+
+        sr, data = wavfile.read(path, mmap=True)
+        if data.ndim == 1:
+            data = data[:, None]
+        start = int(start_time * sr) if start_time is not None else 0
+        end = int(end_time * sr) if end_time is not None else data.shape[0]
+        x = _pcm_to_float(np.asarray(data[start:end])).T  # (C, n)
 
     if mono and x.shape[0] > 1:
         x = x.mean(axis=0, keepdims=True)
@@ -82,11 +110,22 @@ def load_waveform(
 
 
 def resample(x: np.ndarray, orig_freq: int, new_freq: int) -> np.ndarray:
-    """Polyphase FIR resampling along the last axis."""
-    from scipy.signal import resample_poly
+    """Polyphase FIR resampling along the last axis (native C++ when built,
+    scipy fallback; both use the same kaiser(5.0) windowed-sinc design)."""
+    from voiceactivityprojection_tpu.utils import native
 
     g = math.gcd(int(orig_freq), int(new_freq))
     up, down = new_freq // g, orig_freq // g
+    if native.available():
+        shape = x.shape
+        flat = np.ascontiguousarray(
+            np.asarray(x, dtype=np.float32).reshape(-1, shape[-1])
+        )
+        y = native.resample_poly(flat, up, down)
+        if y is not None:
+            return y.reshape(*shape[:-1], y.shape[-1])
+    from scipy.signal import resample_poly
+
     return resample_poly(x, up, down, axis=-1).astype(np.float32)
 
 

@@ -66,23 +66,28 @@ def channel_norm(
     """Normalize over the feature axis with *unbiased* variance.
 
     Matches ChannelNorm (encoder_components.py:62-70): torch's `x.var(dim)`
-    uses Bessel's correction, unlike LayerNorm.
+    uses Bessel's correction, unlike LayerNorm. Statistics always compute
+    in float32 (mixed-precision safety) and cast back to the input dtype.
     """
+    dtype = x.dtype
+    xf = x.astype(jnp.float32)
     c = x.shape[-1]
-    mean = x.mean(-1, keepdims=True)
-    var = x.var(-1, keepdims=True) * (c / (c - 1))
-    x = (x - mean) * jax.lax.rsqrt(var + eps)
-    return x * weight + bias
+    mean = xf.mean(-1, keepdims=True)
+    var = xf.var(-1, keepdims=True) * (c / (c - 1))
+    xf = (xf - mean) * jax.lax.rsqrt(var + eps)
+    return (xf * weight + bias).astype(dtype)
 
 
 def layer_norm(
     x: jax.Array, weight: jax.Array, bias: jax.Array, eps: float = 1e-5
 ) -> jax.Array:
-    """Standard LayerNorm over the feature axis (biased variance)."""
-    mean = x.mean(-1, keepdims=True)
-    var = x.var(-1, keepdims=True)
-    x = (x - mean) * jax.lax.rsqrt(var + eps)
-    return x * weight + bias
+    """Standard LayerNorm over the feature axis (biased variance, f32 stats)."""
+    dtype = x.dtype
+    xf = x.astype(jnp.float32)
+    mean = xf.mean(-1, keepdims=True)
+    var = xf.var(-1, keepdims=True)
+    xf = (xf - mean) * jax.lax.rsqrt(var + eps)
+    return (xf * weight + bias).astype(dtype)
 
 
 # --------------------------------------------------------------------------

@@ -56,9 +56,13 @@ def _gru_gates(
 
 
 def gru(
-    params: Params, x: jax.Array, h0: jax.Array | None = None
+    params: Params, x: jax.Array, h0: jax.Array | None = None, impl: str = "auto"
 ) -> Tuple[jax.Array, jax.Array]:
-    """x: (B, T, C) -> (outputs (B, T, H), final carry (B, H))."""
+    """x: (B, T, C) -> (outputs (B, T, H), final carry (B, H)).
+
+    impl: "auto" uses the Pallas recurrence kernel on TPU (weights resident
+    in VMEM across steps), "scan" forces lax.scan, "pallas" forces the kernel.
+    """
     B, T, _ = x.shape
     hidden = params["w_hh"].shape[0]
     if h0 is None:
@@ -66,6 +70,16 @@ def gru(
 
     # hot matmul: whole-sequence input projection on the MXU
     x_proj = x @ params["w_ih"] + params["b_ih"]  # (B, T, 3H)
+
+    use_pallas = impl == "pallas" or (
+        impl == "auto"
+        and jax.default_backend() not in ("cpu",)
+        and hidden % 128 == 0
+    )
+    if use_pallas:
+        from voiceactivityprojection_tpu.ops.gru_pallas import gru_recurrence_pallas
+
+        return gru_recurrence_pallas(x_proj, params["w_hh"], params["b_hh"], h0)
 
     def step(h, xp_t):
         h = _gru_gates(xp_t, h, params["w_hh"], params["b_hh"], hidden)

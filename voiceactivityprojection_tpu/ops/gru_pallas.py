@@ -1,0 +1,103 @@
+"""Pallas TPU GRU recurrence kernel.
+
+The GRU is the encoder's only strictly-sequential op (2000 steps for a
+20 s chunk at 100 Hz). `ops/gru.py` already hoists the input projection
+into one big MXU matmul; this kernel runs the remaining O(H^2) recurrence
+with the recurrent weights RESIDENT IN VMEM across all steps:
+
+* grid = (T,): TPU grid execution is sequential, so the hidden state can
+  live in VMEM scratch across iterations;
+* the (B, 1, 3H) per-step input-projection slices stream HBM -> VMEM via
+  the automatic block pipeline (double-buffered by Pallas);
+* per step: one (B,H) x (H,3H) MXU matmul + fused gate math on the VPU,
+  torch gate order (r, z, n) for checkpoint parity with ops/gru.py.
+
+Tile alignment requires H % 128 == 0 and B padded to 8; the public entry
+falls back to `lax.scan` otherwise (and on CPU).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _gru_kernel(xp_ref, w_hh_ref, b_hh_ref, h0_ref, ys_ref, h_scr, *, hidden: int):
+    t = pl.program_id(0)
+
+    @pl.when(t == 0)
+    def _init():
+        h_scr[:] = h0_ref[:]
+
+    h = h_scr[:]
+    h_proj = (
+        jax.lax.dot_general(
+            h, w_hh_ref[:],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        + b_hh_ref[:]
+    )
+    xp = xp_ref[0].astype(jnp.float32)  # (B, 3H) — time-major block
+
+    xr = xp[:, :hidden]
+    xz = xp[:, hidden : 2 * hidden]
+    xn = xp[:, 2 * hidden :]
+    hr = h_proj[:, :hidden]
+    hz = h_proj[:, hidden : 2 * hidden]
+    hn = h_proj[:, 2 * hidden :]
+
+    r = jax.nn.sigmoid(xr + hr)
+    z = jax.nn.sigmoid(xz + hz)
+    n = jnp.tanh(xn + r * hn)
+    h_new = ((1.0 - z) * n + z * h.astype(jnp.float32)).astype(h_scr.dtype)
+
+    h_scr[:] = h_new
+    ys_ref[0] = h_new.astype(ys_ref.dtype)
+
+
+def gru_recurrence_pallas(
+    x_proj: jax.Array,  # (B, T, 3H) — precomputed input projections
+    w_hh: jax.Array,    # (H, 3H)
+    b_hh: jax.Array,    # (3H,)
+    h0: jax.Array,      # (B, H)
+) -> Tuple[jax.Array, jax.Array]:
+    """Returns (ys (B, T, H), h_last (B, H))."""
+    B, T, threeH = x_proj.shape
+    H = threeH // 3
+    pad_b = (-B) % 8
+    if pad_b:
+        x_proj = jnp.pad(x_proj, [(0, pad_b), (0, 0), (0, 0)])
+        h0 = jnp.pad(h0, [(0, pad_b), (0, 0)])
+    Bp = B + pad_b
+
+    # time-major so per-step blocks are (1, B, 3H): the last two dims then
+    # satisfy the (8, 128) tile constraint
+    xp_tm = jnp.swapaxes(x_proj, 0, 1)  # (T, Bp, 3H)
+
+    ys_tm = pl.pallas_call(
+        functools.partial(_gru_kernel, hidden=H),
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((1, Bp, threeH), lambda t: (t, 0, 0)),
+            pl.BlockSpec((H, threeH), lambda t: (0, 0)),
+            pl.BlockSpec((1, threeH), lambda t: (0, 0)),
+            pl.BlockSpec((Bp, H), lambda t: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, Bp, H), lambda t: (t, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((T, Bp, H), x_proj.dtype),
+        scratch_shapes=[pltpu.VMEM((Bp, H), jnp.float32)],
+        interpret=jax.default_backend() == "cpu",
+    )(xp_tm, w_hh, b_hh.reshape(1, threeH), h0)
+
+    ys = jnp.swapaxes(ys_tm, 0, 1)[:B]
+    return ys, ys[:, -1]
+
+
+def pallas_gru_supported(batch: int, hidden: int) -> bool:
+    return hidden % 128 == 0
