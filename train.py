@@ -31,6 +31,11 @@ from voiceactivityprojection_tpu.train.loop import Trainer
 
 def get_args() -> argparse.Namespace:
     parser = argparse.ArgumentParser(description="VAP training")
+    parser.add_argument(
+        "--multihost", action="store_true",
+        help="call jax.distributed.initialize(): the mesh then spans all "
+             "hosts (gradient psum over ICI within a slice, DCN across)",
+    )
     parser.add_argument("--max_epochs", type=int, default=100)
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--out_dir", type=str, default="runs")
@@ -46,6 +51,12 @@ def get_args() -> argparse.Namespace:
 
 def main() -> None:
     args = get_args()
+    if args.multihost:
+        jax.distributed.initialize()
+        print(
+            f"multihost: process {jax.process_index()}/{jax.process_count()}, "
+            f"{jax.local_device_count()} local / {jax.device_count()} global devices"
+        )
     conf_cls = VapMonoConfig if args.mono else VapConfig
     trainer = Trainer(
         model_conf=conf_cls.args_to_conf(args),

@@ -32,7 +32,7 @@ def _gru_kernel(xp_ref, w_hh_ref, b_hh_ref, h0_ref, ys_ref, h_scr, *, hidden: in
 
     @pl.when(t == 0)
     def _init():
-        h_scr[:] = h0_ref[:]
+        h_scr[:] = h0_ref[:].astype(h_scr.dtype)
 
     h = h_scr[:]
     h_proj = (
