@@ -1,0 +1,95 @@
+"""Augmentation tests: channel flip, noise, freq-mask, vad-mask, wrappers."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from voiceactivityprojection_tpu.train.augment import (
+    Augmentation,
+    add_gaussian_noise,
+    flip_channels,
+    frequency_mask,
+    mask_vad_channels,
+    naive_pitch_shift,
+)
+
+pytestmark = pytest.mark.train
+
+
+def batch(B=4, n=8000, frames=125):
+    rng = np.random.default_rng(0)
+    return {
+        "waveform": jnp.asarray(rng.normal(size=(B, 2, n)).astype(np.float32)),
+        "vad": jnp.asarray((rng.random((B, frames, 2)) < 0.5).astype(np.float32)),
+    }
+
+
+def test_flip_channels_swaps_consistently():
+    b = batch()
+    out = flip_channels(b, jax.random.key(0), prob=1.0)
+    np.testing.assert_array_equal(
+        np.asarray(out["waveform"]), np.asarray(b["waveform"][:, ::-1])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out["vad"]), np.asarray(b["vad"][:, :, ::-1])
+    )
+    out0 = flip_channels(b, jax.random.key(0), prob=0.0)
+    np.testing.assert_array_equal(np.asarray(out0["waveform"]), np.asarray(b["waveform"]))
+
+
+def test_gaussian_noise_changes_waveform():
+    b = batch()
+    out = add_gaussian_noise(b["waveform"], jax.random.key(1), 0.01)
+    d = np.abs(np.asarray(out) - np.asarray(b["waveform"]))
+    assert 0 < d.mean() < 0.05
+
+
+def test_frequency_mask_reduces_band_energy():
+    t = np.arange(16000) / 16000
+    x = jnp.asarray(np.sin(2 * np.pi * 1000 * t)[None, None].astype(np.float32))
+    x = jnp.tile(x, (1, 2, 1))
+    masked = frequency_mask(x, jax.random.key(3), max_mask_bins=201)
+    assert masked.shape == x.shape
+    # energy can only be removed, not added (modulo edge effects)
+    assert float(jnp.abs(masked).sum()) <= float(jnp.abs(x).sum()) * 1.05
+
+
+def test_mask_vad_channels():
+    b = batch(B=2, n=8000, frames=125)
+    vad = np.zeros((2, 125, 2), dtype=np.float32)
+    vad[:, :10, 0] = 1.0  # ch0 active only first 10 frames
+    b["vad"] = jnp.asarray(vad)
+    out = mask_vad_channels(b, jax.random.key(0), prob=1.0)
+    w = np.asarray(out["waveform"])
+    hop = 320
+    # ch0 active region untouched, inactive region zeroed (25 frames fit 8000)
+    np.testing.assert_array_equal(w[:, 0, : 10 * hop], np.asarray(b["waveform"])[:, 0, : 10 * hop])
+    assert np.abs(w[:, 0, 10 * hop : 25 * hop]).sum() == 0
+    # ch1 never active -> fully silenced in covered frames
+    assert np.abs(w[:, 1, : 25 * hop]).sum() == 0
+
+
+def test_naive_pitch_shift_shapes():
+    x = np.random.default_rng(0).normal(size=(2, 2, 4000)).astype(np.float32)
+    y = naive_pitch_shift(x, 2.0)
+    assert y.shape == x.shape
+
+
+def test_augmentation_applies_or_not():
+    aug = Augmentation(probability=1.0, seed=0)
+    b = batch()
+    out = aug(b, jax.random.key(0))
+    assert not np.allclose(np.asarray(out["waveform"]), np.asarray(b["waveform"]))
+    aug_off = Augmentation(probability=0.0, seed=0)
+    out2 = aug_off(b, jax.random.key(0))
+    np.testing.assert_array_equal(np.asarray(out2["waveform"]), np.asarray(b["waveform"]))
+
+
+def test_prosody_batch_wrappers():
+    from voiceactivityprojection_tpu.ops.prosody import FlatIntensity, LowPass
+
+    x = np.random.default_rng(0).normal(size=(1, 2, 8000)).astype(np.float32)
+    for T in (FlatIntensity(), LowPass(cutoff_freq=400)):
+        y = T(x)
+        assert y.shape == x.shape

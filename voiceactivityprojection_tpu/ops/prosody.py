@@ -219,6 +219,65 @@ def low_pass_filter_resample(
     return y[..., :n]
 
 
+# ---------------------------------------------------------------------------
+# batch-module wrappers (API parity with vap/phrases/transforms.py:28-163 —
+# callables over (B, C, n_samples) batches, looping per sample/channel like
+# the reference nn.Module wrappers)
+# ---------------------------------------------------------------------------
+class _BatchTransform:
+    def _one(self, x: np.ndarray) -> np.ndarray:
+        raise NotImplementedError
+
+    def __call__(self, waveform: np.ndarray, vad=None) -> np.ndarray:
+        waveform = np.asarray(waveform, dtype=np.float32)
+        assert waveform.ndim == 3, f"expected (B, C, n), got {waveform.shape}"
+        out = np.empty_like(waveform)
+        for b in range(waveform.shape[0]):
+            for c in range(waveform.shape[1]):
+                out[b, c] = self._one(waveform[b, c])
+        return out
+
+
+class FlatPitch(_BatchTransform):
+    def __init__(self, target_f0: float = -1, sample_rate: int = 16_000,
+                 hop_time: float = 0.01):
+        self.target_f0 = None if target_f0 <= 0 else target_f0
+        self.sample_rate = sample_rate
+        self.hop_time = hop_time
+
+    def _one(self, x):
+        return flatten_pitch(x, self.target_f0, self.sample_rate, self.hop_time)
+
+
+class ShiftPitch(_BatchTransform):
+    def __init__(self, factor: float = 0.9, sample_rate: int = 16_000,
+                 hop_time: float = 0.01):
+        self.factor = factor
+        self.sample_rate = sample_rate
+        self.hop_time = hop_time
+
+    def _one(self, x):
+        return shift_pitch(x, self.factor, self.sample_rate, self.hop_time)
+
+
+class FlatIntensity(_BatchTransform):
+    def __init__(self, sample_rate: int = 16_000, hop_time: float = 0.01):
+        self.sample_rate = sample_rate
+        self.hop_time = hop_time
+
+    def _one(self, x):
+        return flatten_intensity(x, self.sample_rate, self.hop_time)
+
+
+class LowPass(_BatchTransform):
+    def __init__(self, cutoff_freq: int = 400, sample_rate: int = 16_000):
+        self.cutoff_freq = cutoff_freq
+        self.sample_rate = sample_rate
+
+    def _one(self, x):
+        return low_pass_filter_resample(x, self.cutoff_freq, self.sample_rate)
+
+
 def duration_avg(
     x: np.ndarray,
     segments: List[Tuple[float, float]],

@@ -38,6 +38,38 @@ def flip_channels(
     return out
 
 
+def mask_vad_channels(
+    batch: Dict[str, jax.Array],
+    key: jax.Array,
+    prob: float = 0.4,
+    sample_rate: int = 16_000,
+    frame_hz: int = 50,
+    scale: float = 0.0,
+) -> Dict[str, jax.Array]:
+    """With probability `prob` per sample, silence each channel's waveform
+    wherever that channel's VAD is inactive (cross-talk / bleed removal,
+    the external DataModule's mask_vad option referenced at
+    vap/train.py:83-84 and vap/events.py:851-855)."""
+    wf = batch["waveform"]  # (B, 2, n)
+    vad = batch["vad"]      # (B, T+H, 2)
+    B, C, n = wf.shape
+    hop = sample_rate // frame_hz
+    n_frames = n // hop
+    # per-sample activation of the mask
+    apply = jax.random.bernoulli(key, prob, (B,))
+    active = vad[:, :n_frames].transpose(0, 2, 1)  # (B, 2, n_frames)
+    active_samples = jnp.repeat(active, hop, axis=-1)  # (B, 2, n_frames*hop)
+    pad = n - active_samples.shape[-1]
+    if pad > 0:
+        active_samples = jnp.pad(
+            active_samples, [(0, 0), (0, 0), (0, pad)], constant_values=1.0
+        )
+    masked = jnp.where(active_samples > 0, wf, scale * wf)
+    out = dict(batch)
+    out["waveform"] = jnp.where(apply[:, None, None], masked, wf)
+    return out
+
+
 @partial(jax.jit, static_argnames=("amplitude",))
 def add_gaussian_noise(
     waveform: jax.Array, key: jax.Array, amplitude: float = 0.01

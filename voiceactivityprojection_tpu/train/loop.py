@@ -155,7 +155,9 @@ class Trainer:
         return train, val
 
     # ------------------------------------------------------------------
-    def fit(self) -> TrainState:
+    def fit(self, resume_from: Optional[str] = None) -> TrainState:
+        """Train; `resume_from` restores params from an orbax checkpoint dir
+        (e.g. <out_dir>/ckpt_last) before the first epoch (SURVEY.md §5.4)."""
         train_loader, val_loader = self.make_loaders()
         assert train_loader is not None, "data_conf.train_path is required"
 
@@ -165,6 +167,15 @@ class Trainer:
             params = init_vap_mono(jax.random.key(self.seed), self.model_conf)
         else:
             params = init_vap(jax.random.key(self.seed), self.model_conf)
+        if resume_from:
+            from voiceactivityprojection_tpu.models.checkpoint import (
+                restore_checkpoint,
+            )
+
+            params = restore_checkpoint(
+                os.path.abspath(resume_from), {"params": params}
+            )["params"]
+            print(f"Resumed params from {resume_from}")
         state = init_train_state(params, self.tx)
         with jax.set_mesh(self.mesh):
             state = replicate_tree(state, self.mesh)
@@ -178,11 +189,21 @@ class Trainer:
                 for i, batch in enumerate(train_loader):
                     if self.limit_batches and i >= self.limit_batches:
                         break
-                    key, k1, k2, k3 = jax.random.split(key, 4)
+                    key, k1, k2, k3, k4 = jax.random.split(key, 5)
                     if self.data_conf.flip_channels and not self.mono:
                         batch = flip_channels(
                             {k: jnp.asarray(v) for k, v in batch.items()},
                             k1, self.data_conf.flip_probability,
+                        )
+                    if self.data_conf.mask_vad and not self.mono:
+                        from voiceactivityprojection_tpu.train.augment import (
+                            mask_vad_channels,
+                        )
+
+                        batch = mask_vad_channels(
+                            {k: jnp.asarray(v) for k, v in batch.items()},
+                            k4, self.data_conf.mask_vad_probability,
+                            self.data_conf.sample_rate, self.data_conf.frame_hz,
                         )
                     batch = self.augment(batch, k2)
                     batch = shard_batch(

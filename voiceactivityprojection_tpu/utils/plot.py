@@ -111,3 +111,81 @@ def plot_entropy(H: np.ndarray, ax, frame_hz: int = 50, color="g"):
     ax.set_ylim([0, 8])
     ax.set_ylabel("H (bits)")
     return ax
+
+
+def plot_waveform(waveform: np.ndarray, ax, sample_rate: int = 16_000, color="b"):
+    w = np.asarray(waveform).ravel()
+    x = np.arange(len(w)) / sample_rate
+    ax.plot(x, w, color=color, linewidth=0.5)
+    ax.set_ylim([-1, 1])
+    return ax
+
+
+def plot_phrases_sample(
+    sample: dict,
+    p_now: np.ndarray,
+    p_future: np.ndarray,
+    savepath: Optional[str] = None,
+    frame_hz: int = 50,
+    sample_rate: int = 16_000,
+    figsize=(12, 6),
+):
+    """Phrase-probe figure: mel + word alignment + p panels with EOT/SCP
+    markers (contract of reference plot_utils phrase figure)."""
+    plt = _plt()
+    fig, ax = plt.subplots(3, 1, figsize=figsize, sharex=False)
+
+    w = np.asarray(sample["waveform"])[0]
+    plot_melspectrogram(w, ax=ax[0], sample_rate=sample_rate)
+    ax[0].set_title(
+        f"{sample['phrase']} ({sample['long_short']}, {sample['gender']})",
+        fontsize=10,
+    )
+    T = np.asarray(p_now).shape[0]
+    for i, (word, start) in enumerate(zip(sample["words"], sample["starts"])):
+        xpos = start * frame_hz / T * ax[0].get_xlim()[1]
+        ax[0].axvline(xpos, color="w", linewidth=0.5, alpha=0.5)
+        ax[0].text(xpos, 70, word, color="w", fontsize=7, rotation=45)
+
+    for axis, p, name in ((ax[1], p_now, "p_now"), (ax[2], p_future, "p_future")):
+        plot_next_speaker_probs(np.asarray(p), axis, frame_hz)
+        axis.set_ylabel(name)
+        axis.axvline(sample["end"] / frame_hz, color="r", linewidth=1.5, label="EOT")
+        if sample["long_short"] == "long":
+            axis.axvline(sample["scp"] / frame_hz, color="m", linewidth=1.5, label="SCP")
+    ax[1].legend(loc="upper left", fontsize=7)
+
+    plt.tight_layout()
+    if savepath:
+        fig.savefig(savepath, dpi=100)
+        plt.close(fig)
+    return fig, ax
+
+
+def plot_threshold_curves(
+    curves: dict, savepath: Optional[str] = None, title: str = "", figsize=(8, 4)
+):
+    """F1/balanced-accuracy/PR curves from train.evaluation.get_curves
+    (contract of reference evaluation.py curve plots)."""
+    plt = _plt()
+    fig, ax = plt.subplots(1, 1, figsize=figsize)
+    t = np.asarray(curves["thresholds"])
+    for key, style in (
+        ("f1_weighted", "-"),
+        ("balanced_accuracy", "--"),
+        ("precision", ":"),
+        ("recall", "-."),
+    ):
+        ax.plot(t, np.asarray(curves[key]), style, label=key)
+    best = int(np.argmax(curves["f1_weighted"]))
+    ax.axvline(t[best], color="r", linewidth=1, alpha=0.6)
+    ax.set_xlabel("threshold")
+    ax.set_ylim([0, 1.02])
+    ax.legend(fontsize=8)
+    if title:
+        ax.set_title(title)
+    plt.tight_layout()
+    if savepath:
+        fig.savefig(savepath, dpi=100)
+        plt.close(fig)
+    return fig, ax
