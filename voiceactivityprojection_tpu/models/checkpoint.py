@@ -208,6 +208,74 @@ def import_vap_state_dict(sd: Mapping[str, np.ndarray], conf: VapConfig) -> Para
 
 
 # --------------------------------------------------------------------------
+# export (param pytree -> torch-layout state dict)
+# --------------------------------------------------------------------------
+def _export_mha(p: Params, prefix: str, out: Dict[str, np.ndarray]) -> None:
+    for name in ("query", "key", "value", "proj"):
+        out[f"{prefix}.{name}.weight"] = np.asarray(p[name]["w"])
+    out[f"{prefix}.m"] = np.asarray(p["m"])
+
+
+def _export_layer(p: Params, prefix: str, out: Dict[str, np.ndarray]) -> None:
+    out[f"{prefix}.ln_self_attn.weight"] = np.asarray(p["ln_self_attn"]["w"])
+    out[f"{prefix}.ln_self_attn.bias"] = np.asarray(p["ln_self_attn"]["b"])
+    out[f"{prefix}.ln_ffnetwork.weight"] = np.asarray(p["ln_ffnetwork"]["w"])
+    out[f"{prefix}.ln_ffnetwork.bias"] = np.asarray(p["ln_ffnetwork"]["b"])
+    _export_mha(p["mha"], f"{prefix}.mha", out)
+    out[f"{prefix}.ffnetwork.0.weight"] = np.asarray(p["ffn"]["w_in"]["w"])
+    out[f"{prefix}.ffnetwork.3.weight"] = np.asarray(p["ffn"]["w_out"]["w"])
+    if "mha_cross" in p:
+        out[f"{prefix}.ln_src_attn.weight"] = np.asarray(p["ln_src_attn"]["w"])
+        out[f"{prefix}.ln_src_attn.bias"] = np.asarray(p["ln_src_attn"]["b"])
+        _export_mha(p["mha_cross"], f"{prefix}.mha_cross", out)
+
+
+def export_vap_state_dict(params: Params) -> Dict[str, np.ndarray]:
+    """Param pytree -> reference-layout {name: numpy} state dict (inverse of
+    `import_vap_state_dict`; usable for cross-validating against torch)."""
+    out: Dict[str, np.ndarray] = {}
+    enc = params["encoder"]
+    for i, layer in enumerate(enc["gEncoder"]):
+        out[f"encoder.encoder.gEncoder.conv{i}.weight"] = np.asarray(
+            layer["conv"]["w"]
+        ).transpose(2, 1, 0)
+        out[f"encoder.encoder.gEncoder.conv{i}.bias"] = np.asarray(layer["conv"]["b"])
+        out[f"encoder.encoder.gEncoder.batchNorm{i}.weight"] = np.asarray(
+            layer["norm"]["w"]
+        ).reshape(1, -1, 1)
+        out[f"encoder.encoder.gEncoder.batchNorm{i}.bias"] = np.asarray(
+            layer["norm"]["b"]
+        ).reshape(1, -1, 1)
+    gar = enc["gAR"]
+    out["encoder.encoder.gAR.baseNet.weight_ih_l0"] = np.asarray(gar["w_ih"]).T
+    out["encoder.encoder.gAR.baseNet.weight_hh_l0"] = np.asarray(gar["w_hh"]).T
+    out["encoder.encoder.gAR.baseNet.bias_ih_l0"] = np.asarray(gar["b_ih"])
+    out["encoder.encoder.gAR.baseNet.bias_hh_l0"] = np.asarray(gar["b_hh"])
+    out["encoder.downsample.1.weight"] = np.asarray(
+        enc["downsample"]["conv"]["w"]
+    ).transpose(2, 1, 0)
+    out["encoder.downsample.1.bias"] = np.asarray(enc["downsample"]["conv"]["b"])
+    out["encoder.downsample.2.ln.weight"] = np.asarray(enc["downsample"]["ln"]["w"])
+    out["encoder.downsample.2.ln.bias"] = np.asarray(enc["downsample"]["ln"]["b"])
+
+    for stack in ("ar_channel", "ar"):
+        for i, layer in enumerate(params[stack]["layers"]):
+            _export_layer(layer, f"{stack}.layers.{i}", out)
+    if "combinator" in params["ar"]:
+        comb = params["ar"]["combinator"]
+        out["ar.combinator.h0_a.weight"] = np.asarray(comb["h0_a"]["w"])
+        out["ar.combinator.h0_b.weight"] = np.asarray(comb["h0_b"]["w"])
+        out["ar.combinator.ln.weight"] = np.asarray(comb["ln"]["w"])
+        out["ar.combinator.ln.bias"] = np.asarray(comb["ln"]["b"])
+    if "va_classifier" in params:
+        out["va_classifier.weight"] = np.asarray(params["va_classifier"]["w"])
+        out["va_classifier.bias"] = np.asarray(params["va_classifier"]["b"])
+    out["vap_head.weight"] = np.asarray(params["vap_head"]["w"])
+    out["vap_head.bias"] = np.asarray(params["vap_head"]["b"])
+    return out
+
+
+# --------------------------------------------------------------------------
 # native checkpoints (orbax)
 # --------------------------------------------------------------------------
 def save_checkpoint(path: str, state: Any) -> None:
