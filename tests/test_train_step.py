@@ -79,11 +79,16 @@ def test_frozen_encoder_unchanged():
 
 
 def test_unfrozen_encoder_trains():
-    params = init_vap(jax.random.key(0), CONF)
+    # freeze flag must agree between conf (gradient stop) and optimizer mask
+    conf = VapConfig(
+        dim=16, encoder_dim=16, channel_layers=1, cross_layers=1,
+        freeze_encoder=False,
+    )
+    params = init_vap(jax.random.key(0), conf)
     before = jax.tree.map(np.asarray, params["encoder"])
     tx = make_optimizer(OPT, freeze_encoder=False)
     state = init_train_state(params, tx)
-    step = make_train_step(CONF, tx)
+    step = make_train_step(conf, tx)
     state, _ = step(state, small_batch(), jax.random.key(0))
     after = jax.tree.leaves(state.params["encoder"])
     assert any(

@@ -93,6 +93,12 @@ class VapConfig(ArgparseMixin):
     dtype: str = "float32"        # compute dtype for the transformer stack
     attn_impl: str = "auto"       # "auto" | "pallas" | "xla"
 
+    # objective representation: "discrete" (256-way codebook, the reference
+    # snapshot's objective), "independent" (per-bin Bernoulli, head dim 8),
+    # or "comparative" (scalar A-share, head dim 1) — the Interspeech-2022
+    # label-space family (reference tests/test_model_components.py:12-90)
+    representation: str = "discrete"
+
     # CPC encoder architecture (fixed by the libri-light 60k checkpoint:
     # reference encoder_components.py:206-217 hiddenEncoder=hiddenGar=256)
     encoder_dim: int = 256
@@ -118,6 +124,15 @@ class VapConfig(ArgparseMixin):
     @property
     def n_classes(self) -> int:
         return 2 ** (2 * len(self.bin_times))
+
+    @property
+    def head_dim(self) -> int:
+        n_bins = len(self.bin_times)
+        return {
+            "discrete": self.n_classes,
+            "independent": 2 * n_bins,
+            "comparative": 1,
+        }[self.representation]
 
 
 @dataclass(frozen=True)

@@ -58,8 +58,10 @@ def init_vap(key: jax.Array, conf: VapConfig) -> Params:
             "b": jnp.zeros((1,)),
         },
         "vap_head": {
-            "w": 0.02 * jax.random.normal(ks[4], (conf.n_classes, dim)),
-            "b": jnp.zeros((conf.n_classes,)),
+            # head width follows the objective representation:
+            # 256 discrete classes / 8 independent bins / 1 comparative scalar
+            "w": 0.02 * jax.random.normal(ks[4], (conf.head_dim, dim)),
+            "b": jnp.zeros((conf.head_dim,)),
         },
     }
     return params
@@ -135,6 +137,12 @@ def forward(
 
     params, waveform = _compute_cast(params, waveform, conf)
     x1, x2 = encode_audio(params, waveform)
+    if conf.freeze_encoder:
+        # frozen CPC encoder (vap/encoder.py:39-42): stop gradients at the
+        # feature boundary — the optimizer mask already zeroes encoder
+        # updates, and this additionally skips the encoder backward pass
+        x1 = jax.lax.stop_gradient(x1)
+        x2 = jax.lax.stop_gradient(x2)
     o1 = apply_gpt(
         params["ar_channel"], x1, num_heads=conf.num_heads,
         dropout=drop, rng=r[0], attn_impl=conf.attn_impl, attention_out=attention,
@@ -179,6 +187,8 @@ def forward_mono(
         assert waveform.shape[1] == 1, f"expected (B, 1, n), got {waveform.shape}"
         waveform = waveform[:, 0]
     x = apply_encoder(params["encoder"], waveform)
+    if conf.freeze_encoder:
+        x = jax.lax.stop_gradient(x)
 
     # VAD conditioning (vap/model.py:354-359)
     cond = va @ params["va_condition"]["w"].T + params["va_condition"]["b"]
@@ -214,19 +224,63 @@ def probs_from_logits(
     vad: Optional[jax.Array] = None,
 ) -> Dict[str, jax.Array]:
     """softmax + entropy + p_now/p_future [+ per-frame loss when labels are
-    derivable from vad] (vap/model.py:180-225)."""
-    probs = jax.nn.softmax(logits, axis=-1)
-    ret = {
-        "probs": probs,
-        "vad": jax.nn.sigmoid(vad_logits),
-        "p_now": probs_next_speaker_aggregate(probs, 0, 1),
-        "p_future": probs_next_speaker_aggregate(probs, 2, 3),
-        "H": entropy_bits(probs),
-    }
-    if vad is not None:
-        labels = get_labels(vad, conf.bin_frames)
-        ret["loss"] = loss_vap(logits, labels, reduction="none")
-    return ret
+    derivable from vad] (vap/model.py:180-225). Dispatches on the objective
+    representation (discrete / independent / comparative)."""
+    if conf.representation == "discrete":
+        probs = jax.nn.softmax(logits, axis=-1)
+        ret = {
+            "probs": probs,
+            "vad": jax.nn.sigmoid(vad_logits),
+            "p_now": probs_next_speaker_aggregate(probs, 0, 1),
+            "p_future": probs_next_speaker_aggregate(probs, 2, 3),
+            "H": entropy_bits(probs),
+        }
+        if vad is not None:
+            labels = get_labels(vad, conf.bin_frames)
+            ret["loss"] = loss_vap(logits, labels, reduction="none")
+        return ret
+
+    from voiceactivityprojection_tpu.ops import objective_variants as ov
+
+    if conf.representation == "independent":
+        bin_probs = jax.nn.sigmoid(logits)
+        # per-bin Bernoulli entropy summed over bins (bits)
+        h = -(
+            bin_probs * jnp.log2(jnp.clip(bin_probs, 1e-9, 1.0))
+            + (1 - bin_probs) * jnp.log2(jnp.clip(1 - bin_probs, 1e-9, 1.0))
+        ).sum(-1)
+        ret = {
+            "probs": bin_probs,
+            "vad": jax.nn.sigmoid(vad_logits),
+            "p_now": ov.probs_independent(logits, conf.bin_frames, 0, 1),
+            "p_future": ov.probs_independent(logits, conf.bin_frames, 2, 3),
+            "H": h,
+        }
+        if vad is not None:
+            labels = ov.get_labels_independent(vad, conf.bin_frames)
+            ret["loss"] = ov.loss_vap_independent(logits, labels, reduction="none")
+        return ret
+
+    if conf.representation == "comparative":
+        p = jax.nn.sigmoid(logits[..., 0])
+        h = -(
+            p * jnp.log2(jnp.clip(p, 1e-9, 1.0))
+            + (1 - p) * jnp.log2(jnp.clip(1 - p, 1e-9, 1.0))
+        )
+        pn = jnp.stack([p, 1.0 - p], axis=-1)
+        ret = {
+            "probs": p[..., None],
+            "vad": jax.nn.sigmoid(vad_logits),
+            "p_now": pn,
+            "p_future": pn,
+            "H": h,
+        }
+        if vad is not None:
+            labels = ov.get_labels_comparative(vad, conf.bin_frames)
+            ret["loss"] = ov.loss_vap_comparative(logits, labels, reduction="none")
+        return ret
+
+    raise ValueError(f"unknown representation {conf.representation!r}")
 
 
 @partial(jax.jit, static_argnames=("conf",))

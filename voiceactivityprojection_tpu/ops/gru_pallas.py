@@ -61,6 +61,25 @@ def _gru_kernel(xp_ref, w_hh_ref, b_hh_ref, h0_ref, ys_ref, h_scr, *, hidden: in
     ys_ref[0] = h_new.astype(ys_ref.dtype)
 
 
+def _scan_recurrence(x_proj, w_hh, b_hh, h0):
+    """lax.scan reference recurrence (used for the backward pass)."""
+    hidden = w_hh.shape[0]
+
+    def step(h, xp_t):
+        h_proj = h @ w_hh + b_hh
+        xr, xz, xn = jnp.split(xp_t, 3, axis=-1)
+        hr, hz, hn = jnp.split(h_proj, 3, axis=-1)
+        r = jax.nn.sigmoid(xr + hr)
+        z = jax.nn.sigmoid(xz + hz)
+        n = jnp.tanh(xn + r * hn)
+        h = (1.0 - z) * n + z * h
+        return h, h
+
+    h_last, ys = jax.lax.scan(step, h0, jnp.swapaxes(x_proj, 0, 1))
+    return jnp.swapaxes(ys, 0, 1), h_last
+
+
+@jax.custom_vjp
 def gru_recurrence_pallas(
     x_proj: jax.Array,  # (B, T, 3H) — precomputed input projections
     w_hh: jax.Array,    # (H, 3H)
@@ -68,6 +87,10 @@ def gru_recurrence_pallas(
     h0: jax.Array,      # (B, H)
 ) -> Tuple[jax.Array, jax.Array]:
     """Returns (ys (B, T, H), h_last (B, H))."""
+    return _forward_pallas(x_proj, w_hh, b_hh, h0)
+
+
+def _forward_pallas(x_proj, w_hh, b_hh, h0):
     B, T, threeH = x_proj.shape
     H = threeH // 3
     pad_b = (-B) % 8
@@ -97,6 +120,22 @@ def gru_recurrence_pallas(
 
     ys = jnp.swapaxes(ys_tm, 0, 1)[:B]
     return ys, ys[:, -1]
+
+
+def _vjp_fwd(x_proj, w_hh, b_hh, h0):
+    out = _forward_pallas(x_proj, w_hh, b_hh, h0)
+    return out, (x_proj, w_hh, b_hh, h0)
+
+
+def _vjp_bwd(res, g):
+    # backward via BPTT on the scan reference (training sequences are short
+    # enough that recompute-from-scratch is cheap relative to the encoder)
+    x_proj, w_hh, b_hh, h0 = res
+    _, vjp = jax.vjp(_scan_recurrence, x_proj, w_hh, b_hh, h0)
+    return vjp(g)
+
+
+gru_recurrence_pallas.defvjp(_vjp_fwd, _vjp_bwd)
 
 
 def pallas_gru_supported(batch: int, hidden: int) -> bool:

@@ -73,16 +73,32 @@ def init_train_state(params: Params, tx) -> TrainState:
     return TrainState(params=params, opt_state=tx.init(params), step=jnp.zeros((), jnp.int32))
 
 
+def _vap_loss_for_representation(conf: VapConfig, logits, vad):
+    if conf.representation == "discrete":
+        return loss_vap(logits, get_labels(vad, conf.bin_frames))
+    from voiceactivityprojection_tpu.ops import objective_variants as ov
+
+    if conf.representation == "independent":
+        return ov.loss_vap_independent(
+            logits, ov.get_labels_independent(vad, conf.bin_frames)
+        )
+    if conf.representation == "comparative":
+        return ov.loss_vap_comparative(
+            logits, ov.get_labels_comparative(vad, conf.bin_frames)
+        )
+    raise ValueError(conf.representation)
+
+
 def loss_fn(
     params: Params,
     batch: Dict[str, jax.Array],
     conf: VapConfig,
     rng: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
-    """Multitask loss (vap/train.py:397-403)."""
-    labels = get_labels(batch["vad"], conf.bin_frames)
+    """Multitask loss (vap/train.py:397-403); VAP term dispatches on the
+    objective representation."""
     out = forward(params, batch["waveform"], conf, rng=rng)
-    lvap = loss_vap(out["logits"], labels)
+    lvap = _vap_loss_for_representation(conf, out["logits"], batch["vad"])
     lvad = loss_vad(out["vad"], batch["vad"])
     return lvap + lvad, {"vap_loss": lvap, "vad_loss": lvad}
 
