@@ -69,12 +69,14 @@ def _triad_matches(
     vals: np.ndarray, templates: Sequence[Sequence[int]]
 ) -> List[Tuple[int, int]]:
     """All (template_row, position) where vals[pos:pos+3] equals a template.
-    The row index IS the next-speaker id (template construction invariant)."""
+    The row index IS the next-speaker id (template construction invariant).
+    Emission order matches the reference's torch.where row-major order
+    (vap/events.py:141-143): all row-0 matches first, then row-1."""
     hits = []
-    for t in range(len(vals) - 2):
-        tri = (vals[t], vals[t + 1], vals[t + 2])
-        for row, tmpl in enumerate(templates):
-            if tri == tuple(tmpl):
+    for row, tmpl in enumerate(templates):
+        tmpl = tuple(tmpl)
+        for t in range(len(vals) - 2):
+            if (vals[t], vals[t + 1], vals[t + 2]) == tmpl:
                 hits.append((row, t))
     return hits
 
