@@ -28,6 +28,10 @@ def setup_runtime(
     if platform:
         jax.config.update("jax_platforms", platform)
     if compilation_cache:
+        # scope the cache per platform: CPU AOT artifacts are machine-feature
+        # specific and must not be shared with TPU entries (SIGILL risk)
+        tag = platform or os.environ.get("JAX_PLATFORMS", "default") or "default"
+        cache_dir = f"{cache_dir}-{tag.replace(',', '_')}"
         os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
