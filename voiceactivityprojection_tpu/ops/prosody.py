@@ -77,7 +77,8 @@ def pitch_track(
     y1 = norm_ac[np.arange(len(lags)), lags]
     y2 = norm_ac[np.arange(len(lags)), l2]
     denom = y0 - 2 * y1 + y2
-    delta = np.where(np.abs(denom) > 1e-8, 0.5 * (y0 - y2) / denom, 0.0)
+    safe = np.where(np.abs(denom) > 1e-8, denom, 1.0)
+    delta = np.where(np.abs(denom) > 1e-8, 0.5 * (y0 - y2) / safe, 0.0)
     lag_f = lags + np.clip(delta, -1, 1)
 
     energy = ac0 / frame_len
