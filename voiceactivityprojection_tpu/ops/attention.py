@@ -135,10 +135,18 @@ def attention(
     if impl == "pallas":
         use_pallas = True
     elif impl == "auto":
+        # measured on v5e: XLA's fused dense attention wins at training/
+        # inference sizes (T=1000, B=64: 90 ms vs 168 ms for the flash
+        # kernel across the 7 layer passes); the flash kernel wins once the
+        # materialized (B, H, T, T) scores would blow past ~1.5 GB (long-
+        # audio single-shot extraction), where dense thrashes HBM or OOMs.
+        B, T, _ = q_in.shape
+        num_heads_total = num_heads
+        scores_bytes = 2 * B * num_heads_total * T * T  # bf16 transient
         use_pallas = (
             not return_weights
             and (dropout_rate == 0.0 or dropout_key is None)
-            and q_in.shape[1] >= 256
+            and scores_bytes > 1_500_000_000
             and jax.default_backend() not in ("cpu",)
         )
     if use_pallas:

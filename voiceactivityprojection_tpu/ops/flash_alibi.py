@@ -30,8 +30,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-DEFAULT_BLOCK_Q = 128
-DEFAULT_BLOCK_K = 128
+DEFAULT_BLOCK_Q = 256
+DEFAULT_BLOCK_K = 512
 NEG_INF = -1e30
 
 
@@ -104,7 +104,12 @@ def _flash_forward(
     B, H, T, Dh = q.shape
     assert k.shape == v.shape == (B, H, T, Dh)
 
-    pad = (-T) % block_q
+    # clamp blocks for short sequences (powers of two keep them divisible)
+    t128 = -(-T // 128) * 128
+    block_q = min(block_q, t128)
+    block_k = min(block_k, t128)
+
+    pad = (-T) % max(block_q, block_k)
     if pad:
         # zero-pad time; padded queries produce garbage rows that we slice off,
         # padded keys are masked by causality (gk > gq for every real query)

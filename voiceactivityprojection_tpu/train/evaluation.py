@@ -113,6 +113,7 @@ class EvaluationCollector:
             "test_loss_va": float(np.nanmean(self.vad_losses)) if self.vad_losses else float("nan"),
         }
         out.update({f"test_{k}": v for k, v in self.metrics.compute().items()})
+        self.curves: Dict[str, Dict[str, np.ndarray]] = {}
         if threshold_search:
             for fam in self.FAMILIES:
                 if self.pooled[fam]:
@@ -121,6 +122,7 @@ class EvaluationCollector:
                     thr, curves = find_threshold(p, t)
                     out[f"threshold_{fam}"] = thr
                     out[f"best_f1w_{fam}"] = float(curves["f1_weighted"].max())
+                    self.curves[fam] = curves
         return out
 
     def save(self, out_dir: str, result: Dict[str, float]) -> None:
@@ -136,6 +138,29 @@ class EvaluationCollector:
         }
         if thresholds:
             write_json(thresholds, os.path.join(out_dir, "thresholds.json"))
+        # full curves (reference saved curves.pt, evaluation.py:144-232)
+        if getattr(self, "curves", None):
+            np.savez(
+                os.path.join(out_dir, "curves.npz"),
+                **{
+                    f"{fam}_{key}": arr
+                    for fam, cur in self.curves.items()
+                    for key, arr in cur.items()
+                },
+            )
+            try:
+                from voiceactivityprojection_tpu.utils.plot import (
+                    plot_threshold_curves,
+                )
+
+                for fam, cur in self.curves.items():
+                    plot_threshold_curves(
+                        cur,
+                        savepath=os.path.join(out_dir, f"curves_{fam}.png"),
+                        title=fam,
+                    )
+            except Exception:
+                pass  # plotting is best-effort (headless minimal installs)
 
 
 def evaluate(
