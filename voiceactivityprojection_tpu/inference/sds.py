@@ -116,6 +116,32 @@ def zmq_subscriber(port: int = 5578, topic: str = "tt_probs", host: str = "local
         yield float(val)
 
 
+class WavRecorder:
+    """Accumulates captured stereo chunks, writes a wav on close
+    (the reference records its capture to disk, sds/run_sds.py:137-147)."""
+
+    def __init__(self, path: str, sample_rate: int = 16_000):
+        self.path = path
+        self.sample_rate = sample_rate
+        self.chunks = []
+
+    def add(self, chunk: np.ndarray) -> None:
+        self.chunks.append(np.asarray(chunk))
+
+    def close(self) -> None:
+        if not self.chunks:
+            return
+        import wave
+
+        data = np.concatenate(self.chunks, axis=-1)  # (2, n)
+        pcm = (np.clip(data.T, -1, 1) * 32767).astype(np.int16)
+        with wave.open(self.path, "wb") as f:
+            f.setnchannels(data.shape[0])
+            f.setsampwidth(2)
+            f.setframerate(self.sample_rate)
+            f.writeframes(pcm.tobytes())
+
+
 class TurnTakingSDS:
     """Streaming turn-taking loop (contract of sds/run_sds.py:162-263)."""
 
@@ -135,6 +161,11 @@ class TurnTakingSDS:
         self.smooth_frames = int(self.conf.prob_smooth_time * self.conf.frame_hz)
         self.source = source
         self.publisher = publisher
+        self.recorder = (
+            WavRecorder(self.conf.savefile, self.conf.sample_rate)
+            if self.conf.savefile
+            else None
+        )
 
     def step(self, chunk: np.ndarray) -> float:
         """One hop: returns p_now for speaker 0 averaged over the last
@@ -153,6 +184,8 @@ class TurnTakingSDS:
         self.stream.reset()
         try:
             for i, chunk in enumerate(source.chunks()):
+                if self.recorder is not None:
+                    self.recorder.add(chunk)
                 p = self.step(chunk)
                 if pub is not None:
                     pub.send(p)
@@ -164,3 +197,5 @@ class TurnTakingSDS:
             source.close()
             if pub is not None:
                 pub.close()
+            if self.recorder is not None:
+                self.recorder.close()
