@@ -124,6 +124,7 @@ class VapDataLoader:
         drop_last: bool = True,
         seed: int = 0,
         prefetch: int = 2,
+        num_workers: int = 4,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -131,24 +132,34 @@ class VapDataLoader:
         self.drop_last = drop_last
         self.rng = np.random.default_rng(seed)
         self.prefetch = prefetch
+        self.num_workers = num_workers
 
     def __len__(self) -> int:
         n = len(self.dataset)
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
     def _batches(self) -> Iterator[Dict[str, np.ndarray]]:
+        from concurrent.futures import ThreadPoolExecutor
+
         order = np.arange(len(self.dataset))
         if self.shuffle:
             self.rng.shuffle(order)
-        for i in range(0, len(order), self.batch_size):
-            idxs = order[i : i + self.batch_size]
-            if self.drop_last and len(idxs) < self.batch_size:
-                break
-            items = [self.dataset[int(j)] for j in idxs]
-            yield {
+
+        def load_batch(idxs, pool):
+            # audio decode + polyphase resample release the GIL in the
+            # native library, so threads give real wall-clock speedup
+            items = list(pool.map(lambda j: self.dataset[int(j)], idxs))
+            return {
                 "waveform": np.stack([it["waveform"] for it in items]),
                 "vad": np.stack([it["vad"] for it in items]),
             }
+
+        with ThreadPoolExecutor(max_workers=max(self.num_workers, 1)) as pool:
+            for i in range(0, len(order), self.batch_size):
+                idxs = order[i : i + self.batch_size]
+                if self.drop_last and len(idxs) < self.batch_size:
+                    break
+                yield load_batch(idxs, pool)
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         if self.prefetch <= 0:

@@ -1,0 +1,207 @@
+"""Batched inference server for production serving.
+
+The reference has no serving layer beyond the single-client SDS loop; this
+module adds one designed for TPU economics: requests are MICRO-BATCHED
+into a fixed (B, 2, n_samples) shape — one compiled program, full MXU
+utilization — and dispatched when the batch fills or a deadline passes.
+
+Transport is ZMQ ROUTER/DEALER (same dependency family as the reference's
+SDS publisher): requests/replies are multipart [header-json, f32-bytes].
+
+    server = VapServer(model, batch_size=16, chunk_time=20.0)
+    server.serve(port=5590)            # blocking; or .start() for a thread
+
+    client = VapClient(port=5590)
+    out = client.infer(waveform)       # (2, n) float32 -> dict of arrays
+
+Requests shorter than chunk_time are zero-padded (results trimmed);
+longer ones are rejected with an error reply (use VapExtractor for long
+audio — the server targets fixed-latency online traffic).
+"""
+
+from __future__ import annotations
+
+import json
+import queue
+import threading
+import time
+from typing import Dict, List, Optional
+
+import numpy as np
+import jax.numpy as jnp
+
+
+class _Request:
+    __slots__ = ("ident", "req_id", "waveform", "n_frames")
+
+    def __init__(self, ident, req_id, waveform, n_frames):
+        self.ident = ident
+        self.req_id = req_id
+        self.waveform = waveform
+        self.n_frames = n_frames
+
+
+class VapServer:
+    def __init__(
+        self,
+        model,
+        batch_size: int = 16,
+        chunk_time: float = 20.0,
+        max_wait_ms: float = 25.0,
+        outputs: tuple = ("p_now", "p_future", "vad", "H"),
+    ):
+        self.model = model
+        self.batch_size = batch_size
+        self.sample_rate = model.conf.sample_rate
+        self.frame_hz = model.conf.frame_hz
+        self.n_samples = int(chunk_time * self.sample_rate)
+        self.max_wait_s = max_wait_ms / 1000.0
+        self.outputs = outputs
+        self.queue: "queue.Queue[_Request]" = queue.Queue()
+        self._stop = threading.Event()
+        self.stats = {"requests": 0, "batches": 0, "batch_fill_sum": 0}
+
+    # ------------------------------------------------------------------
+    def _run_batch(self, batch: List[_Request]) -> List[Dict[str, np.ndarray]]:
+        stacked = np.zeros((self.batch_size, 2, self.n_samples), dtype=np.float32)
+        for i, r in enumerate(batch):
+            stacked[i] = r.waveform
+        out = self.model.probs(jnp.asarray(stacked))
+        out = {k: np.asarray(v) for k, v in out.items() if k in self.outputs}
+        results = []
+        for i, r in enumerate(batch):
+            results.append({k: v[i, : r.n_frames] for k, v in out.items()})
+        self.stats["batches"] += 1
+        self.stats["batch_fill_sum"] += len(batch)
+        return results
+
+    def _collect_batch(self) -> List[_Request]:
+        """Block for the first request, then fill until full or deadline."""
+        first = self.queue.get()
+        if first is None:  # shutdown sentinel
+            return []
+        batch = [first]
+        deadline = time.time() + self.max_wait_s
+        while len(batch) < self.batch_size:
+            remaining = deadline - time.time()
+            if remaining <= 0:
+                break
+            try:
+                nxt = self.queue.get(timeout=remaining)
+            except queue.Empty:
+                break
+            if nxt is None:
+                break
+            batch.append(nxt)
+        return batch
+
+    # ------------------------------------------------------------------
+    def serve(self, port: int = 5590, ready_event: Optional[threading.Event] = None):
+        import zmq
+
+        ctx = zmq.Context()
+        sock = ctx.socket(zmq.ROUTER)
+        sock.bind(f"tcp://*:{port}")
+        poller = zmq.Poller()
+        poller.register(sock, zmq.POLLIN)
+        if ready_event is not None:
+            ready_event.set()
+
+        def receiver():
+            while not self._stop.is_set():
+                try:
+                    if not dict(poller.poll(timeout=50)):
+                        continue
+                    ident, header, payload = sock.recv_multipart()
+                except zmq.ZMQError:
+                    return  # socket closed during shutdown
+                h = json.loads(header)
+                wf = np.frombuffer(payload, dtype=np.float32).reshape(h["shape"])
+                if wf.shape[0] != 2 or wf.shape[1] > self.n_samples:
+                    reply = {"req_id": h.get("req_id"), "error":
+                             f"expected (2, <= {self.n_samples}), got {list(wf.shape)}"}
+                    with send_lock:
+                        sock.send_multipart([ident, json.dumps(reply).encode(), b""])
+                    continue
+                n_frames = int(wf.shape[1] / self.sample_rate * self.frame_hz)
+                padded = np.zeros((2, self.n_samples), dtype=np.float32)
+                padded[:, : wf.shape[1]] = wf
+                self.queue.put(_Request(ident, h.get("req_id"), padded, n_frames))
+                self.stats["requests"] += 1
+
+        send_lock = threading.Lock()
+        rt = threading.Thread(target=receiver, daemon=True)
+        rt.start()
+
+        try:
+            while not self._stop.is_set():
+                batch = self._collect_batch()
+                if not batch:
+                    continue
+                results = self._run_batch(batch)
+                for r, res in zip(batch, results):
+                    header = {
+                        "req_id": r.req_id,
+                        "keys": list(res),
+                        "shapes": {k: list(v.shape) for k, v in res.items()},
+                    }
+                    payload = b"".join(
+                        np.ascontiguousarray(res[k], dtype=np.float32).tobytes()
+                        for k in res
+                    )
+                    with send_lock:
+                        sock.send_multipart(
+                            [r.ident, json.dumps(header).encode(), payload]
+                        )
+        finally:
+            self._stop.set()
+            rt.join(timeout=2)
+            sock.close(0)
+            ctx.term()
+
+    def start(self, port: int = 5590) -> threading.Thread:
+        ready = threading.Event()
+        t = threading.Thread(target=self.serve, args=(port, ready), daemon=True)
+        t.start()
+        ready.wait(timeout=10)
+        return t
+
+    def stop(self):
+        self._stop.set()
+        self.queue.put(None)
+
+
+class VapClient:
+    def __init__(self, port: int = 5590, host: str = "localhost", timeout_s: float = 60.0):
+        import zmq
+
+        self.ctx = zmq.Context()
+        self.sock = self.ctx.socket(zmq.DEALER)
+        self.sock.connect(f"tcp://{host}:{port}")
+        self.sock.setsockopt(zmq.RCVTIMEO, int(timeout_s * 1000))
+        self._next_id = 0
+
+    def infer(self, waveform: np.ndarray) -> Dict[str, np.ndarray]:
+        waveform = np.ascontiguousarray(waveform, dtype=np.float32)
+        req_id = self._next_id
+        self._next_id += 1
+        header = {"req_id": req_id, "shape": list(waveform.shape)}
+        self.sock.send_multipart([json.dumps(header).encode(), waveform.tobytes()])
+        h_raw, payload = self.sock.recv_multipart()
+        h = json.loads(h_raw)
+        if "error" in h:
+            raise ValueError(h["error"])
+        out: Dict[str, np.ndarray] = {}
+        offset = 0
+        for k in h["keys"]:
+            shape = h["shapes"][k]
+            size = int(np.prod(shape))
+            out[k] = np.frombuffer(
+                payload, dtype=np.float32, count=size, offset=offset * 4
+            ).reshape(shape)
+            offset += size
+        return out
+
+    def close(self):
+        self.sock.close(0)
+        self.ctx.term()
