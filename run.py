@@ -44,6 +44,10 @@ def get_args() -> argparse.Namespace:
         help="torch state-dict (.pt) or legacy Lightning ckpt to import",
     )
     parser.add_argument(
+        "--checkpoint", type=str, default="",
+        help="orbax checkpoint dir (e.g. runs/<name>/ckpt_best)",
+    )
+    parser.add_argument(
         "-o", "--output", type=str, default="",
         help="output json path (default: <audio>.json)",
     )
@@ -63,6 +67,15 @@ def main() -> None:
     if args.state_dict:
         model = VapModel.from_torch_state_dict(args.state_dict, conf)
         print(f"Loaded state dict: {args.state_dict}")
+    elif args.checkpoint:
+        from voiceactivityprojection_tpu.models.checkpoint import restore_checkpoint
+        from voiceactivityprojection_tpu.models.vap import init_vap
+
+        model = VapModel(conf, init_vap(jax.random.key(0), conf))
+        model.params = restore_checkpoint(
+            os.path.abspath(args.checkpoint), {"params": model.params}
+        )["params"]
+        print(f"Restored checkpoint: {args.checkpoint}")
     else:
         model = VapModel.init(jax.random.key(0), conf)
         print("WARNING: random-init weights (no --state_dict given)")

@@ -30,15 +30,18 @@ def plot_melspectrogram(
     sample_rate: int = 16_000,
     cmap: str = "magma",
 ):
-    """Log-mel image on an axis; hop chosen so columns align with model
-    frames (plot_utils.py mel panel behavior)."""
+    """Log-mel image on an axis, x-axis in SECONDS (so panels with
+    probability curves can share it)."""
     from voiceactivityprojection_tpu.ops.audio import log_mel_spectrogram
 
+    w = np.asarray(waveform)
     hop = int(frame_time * sample_rate)
-    mel = log_mel_spectrogram(
-        np.asarray(waveform), n_mels=n_mels, hop_length=hop, sample_rate=sample_rate
+    mel = log_mel_spectrogram(w, n_mels=n_mels, hop_length=hop, sample_rate=sample_rate)
+    duration = w.shape[-1] / sample_rate
+    ax.imshow(
+        mel, aspect="auto", origin="lower", interpolation="none", cmap=cmap,
+        extent=[0.0, duration, 0.0, float(n_mels)],
     )
-    ax.imshow(mel, aspect="auto", origin="lower", interpolation="none", cmap=cmap)
     ax.set_yticks([])
     return ax
 
@@ -79,17 +82,17 @@ def plot_stereo(
 
     waveform = np.asarray(waveform)
     T = np.asarray(p_now).shape[0]
-    x = np.arange(T) / frame_hz
+    x = np.arange(T) / frame_hz  # shared seconds axis
 
     plot_melspectrogram(waveform[0], ax=ax[0], sample_rate=sample_rate)
     ax[0].set_ylabel("A")
     ax[0].set_ylim([0, 80])
-    plot_vad(np.linspace(0, ax[0].get_xlim()[1], T), np.asarray(vad)[:T, 0], ax[0], ypad=2)
+    plot_vad(x, np.asarray(vad)[:T, 0], ax[0], ypad=2)
 
     plot_melspectrogram(waveform[1], ax=ax[1], sample_rate=sample_rate)
     ax[1].set_ylabel("B")
     ax[1].set_ylim([0, 80])
-    plot_vad(np.linspace(0, ax[1].get_xlim()[1], T), np.asarray(vad)[:T, 1], ax[1], ypad=2)
+    plot_vad(x, np.asarray(vad)[:T, 1], ax[1], ypad=2)
 
     plot_next_speaker_probs(np.asarray(p_now)[:T], ax[2], frame_hz)
     ax[2].set_ylabel("p_now")
