@@ -55,32 +55,55 @@ def _block_mats(dtype=jnp.float32):
 
 def _fused_kernel(
     n0_ref,       # (1,) scalar-prefetch: number of REAL conv0 outputs
-    win_hbm,      # (R, T4_total, 64) ANY — packed conv0 input windows
-    w0_ref,       # (64, 1024) VMEM — block-diagonal conv0 weights
+    win_hbm,      # (R, T4_total, 128) ANY — packed conv0 input windows
+    w0_ref,       # (128, 1024) VMEM — block-diagonal conv0 weights
     b0_ref, g0_ref, be0_ref,   # (1, 1024) f32 — tiled conv0 bias/affine
     w1_ref,       # (2048, 256) VMEM — conv1 im2col weights (k-major)
     b1_ref, g1_ref, be1_ref,   # (1, 256) f32
     o_ref,        # (1, T1_TILE, 256) VMEM out
-    win_vmem,     # (T4_TILE, 64) scratch
-    sem,
+    win_vmem,     # (2, T4_TILE, 128) double-buffered scratch
+    sem,          # (2,) DMA semaphores
 ):
     r = pl.program_id(0)
     i = pl.program_id(1)
+    n_tiles = pl.num_programs(1)
+    n_rows = pl.num_programs(0)
     t4_start = i * T1_TILE
+    step = r * n_tiles + i
+    slot = step % 2
 
-    cp = pltpu.make_async_copy(
-        win_hbm.at[r, pl.ds(t4_start, T4_TILE), :], win_vmem, sem
-    )
-    cp.start()
-    cp.wait()
+    def dma_for(row, tile, s):
+        return pltpu.make_async_copy(
+            win_hbm.at[row, pl.ds(tile * T1_TILE, T4_TILE), :],
+            win_vmem.at[s], sem.at[s],
+        )
+
+    @pl.when(step == 0)
+    def _warmup():
+        dma_for(r, i, slot).start()
+
+    # prefetch the next grid step's slice while we compute this one
+    next_step = step + 1
+    nr = next_step // n_tiles
+    ni = next_step % n_tiles
+
+    @pl.when(next_step < n_rows * n_tiles)
+    def _prefetch():
+        dma_for(nr, ni, (slot + 1) % 2).start()
+
+    dma_for(r, i, slot).wait()
 
     z0 = jax.lax.dot_general(
-        win_vmem[:], w0_ref[:],
+        win_vmem[slot], w0_ref[:],
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     ) + b0_ref[:]  # (T4_TILE, 1024) — 4 packed conv0 outputs per row
 
-    # per-block ChannelNorm (unbiased) via block-sum/expand matmuls
+    # per-block ChannelNorm (unbiased) via block-sum/expand matmuls.
+    # NOTE: a lane-split reshape + pltpu.repeat variant measured 2x SLOWER
+    # on hardware AND numerically wrong (Mosaic's lane grouping for
+    # (T, 1024) -> (T, 4, 256) is tile-interleaved, not contiguous, even
+    # though interpret mode matches) — keep the matmul formulation.
     bsum, bexp = _block_mats()
     mean = jax.lax.dot_general(
         z0, bsum, dimension_numbers=(((1,), (0,)), ((), ())),
@@ -195,8 +218,8 @@ def _forward_fused(enc: Params, x: jax.Array) -> jax.Array:
         ],
         out_specs=pl.BlockSpec((1, T1_TILE, C), lambda r, i, *_: (r, i, 0)),
         scratch_shapes=[
-            pltpu.VMEM((T4_TILE, PACK * KW), dtype),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, T4_TILE, PACK * KW), dtype),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     out = pl.pallas_call(
