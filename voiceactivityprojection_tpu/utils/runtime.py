@@ -27,10 +27,11 @@ def setup_runtime(
     platform = platform or os.environ.get("VAP_PLATFORM")
     if platform:
         jax.config.update("jax_platforms", platform)
-    if compilation_cache:
-        # scope the cache per platform: CPU AOT artifacts are machine-feature
-        # specific and must not be shared with TPU entries (SIGILL risk)
-        tag = platform or os.environ.get("JAX_PLATFORMS", "default") or "default"
+    tag = platform or os.environ.get("JAX_PLATFORMS", "default") or "default"
+    if compilation_cache and tag != "cpu":
+        # TPU-only: compiles through the tunnel take minutes and cache well.
+        # CPU compiles are fast AND the CPU AOT entries embed machine
+        # features — loading them on a different host risks SIGILL.
         cache_dir = f"{cache_dir}-{tag.replace(',', '_')}"
         os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
