@@ -16,10 +16,9 @@ local LDC Switchboard checkout.
 
 from __future__ import annotations
 
-import os
 from glob import glob
 from os.path import basename, exists, join
-from typing import Dict, Iterator, List, Optional, Tuple
+from typing import Dict, Iterator, List, Tuple
 
 import numpy as np
 

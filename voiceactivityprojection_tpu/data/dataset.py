@@ -23,7 +23,7 @@ from __future__ import annotations
 import csv as _csv
 import queue
 import threading
-from typing import Dict, Iterator, List, Optional
+from typing import Dict, Iterator, List
 
 import numpy as np
 

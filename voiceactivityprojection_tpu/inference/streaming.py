@@ -24,7 +24,7 @@ the reference's zero-initialized waveform ring (sds/run_sds.py:206-214).
 from __future__ import annotations
 
 from functools import partial
-from typing import Dict, Optional
+from typing import Dict
 
 import numpy as np
 import jax

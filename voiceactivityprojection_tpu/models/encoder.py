@@ -37,7 +37,7 @@ from voiceactivityprojection_tpu.ops.conv import (
     init_norm,
     layer_norm,
 )
-from voiceactivityprojection_tpu.ops.gru import gru, gru_step, init_gru
+from voiceactivityprojection_tpu.ops.gru import gru, init_gru
 
 Params = Dict[str, Any]
 

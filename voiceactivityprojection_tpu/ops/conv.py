@@ -21,7 +21,6 @@ from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 Params = Dict[str, jax.Array]
 

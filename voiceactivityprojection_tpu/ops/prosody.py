@@ -311,3 +311,15 @@ def duration_avg(
     if cursor < len(x):
         parts.append(x[cursor:])
     return np.concatenate(parts).astype(np.float32)
+
+
+def f0_statistics(f0: np.ndarray, voiced: Optional[np.ndarray] = None):
+    """(mean, std, voiced_ratio) over voiced frames — analogue of the
+    reference's f0_statistics helper (vap/phrases/functional.py)."""
+    f0 = np.asarray(f0)
+    if voiced is None:
+        voiced = f0 > 0
+    if not voiced.any():
+        return 0.0, 0.0, 0.0
+    v = f0[voiced]
+    return float(v.mean()), float(v.std()), float(voiced.mean())

@@ -17,7 +17,7 @@ matters (noise, freq-mask via jit), host-side NumPy for resample.
 from __future__ import annotations
 
 from functools import partial
-from typing import Dict, Tuple
+from typing import Dict
 
 import numpy as np
 import jax

@@ -14,7 +14,7 @@ hooks in analyzes/model_params_grad.py:8-156). TPU-native replacements:
 from __future__ import annotations
 
 import contextlib
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
 import numpy as np
 import jax
