@@ -27,38 +27,44 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _gru_kernel(xp_ref, w_hh_ref, b_hh_ref, h0_ref, ys_ref, h_scr, *, hidden: int):
-    t = pl.program_id(0)
+TIME_BLOCK = 8  # sequential steps per grid iteration (cuts grid overhead)
 
-    @pl.when(t == 0)
+
+def _gru_kernel(xp_ref, w_hh_ref, b_hh_ref, h0_ref, ys_ref, h_scr, *, hidden: int):
+    tb = pl.program_id(0)
+
+    @pl.when(tb == 0)
     def _init():
         h_scr[:] = h0_ref[:].astype(h_scr.dtype)
 
     h = h_scr[:]
-    h_proj = (
-        jax.lax.dot_general(
-            h, w_hh_ref[:],
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+    # statically-unrolled block of TIME_BLOCK sequential steps; the input
+    # projections for the whole block arrive via one pipelined load
+    for t in range(TIME_BLOCK):
+        h_proj = (
+            jax.lax.dot_general(
+                h, w_hh_ref[:],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            + b_hh_ref[:]
         )
-        + b_hh_ref[:]
-    )
-    xp = xp_ref[0].astype(jnp.float32)  # (B, 3H) — time-major block
+        xp = xp_ref[t].astype(jnp.float32)  # (B, 3H) — time-major block
 
-    xr = xp[:, :hidden]
-    xz = xp[:, hidden : 2 * hidden]
-    xn = xp[:, 2 * hidden :]
-    hr = h_proj[:, :hidden]
-    hz = h_proj[:, hidden : 2 * hidden]
-    hn = h_proj[:, 2 * hidden :]
+        xr = xp[:, :hidden]
+        xz = xp[:, hidden : 2 * hidden]
+        xn = xp[:, 2 * hidden :]
+        hr = h_proj[:, :hidden]
+        hz = h_proj[:, hidden : 2 * hidden]
+        hn = h_proj[:, 2 * hidden :]
 
-    r = jax.nn.sigmoid(xr + hr)
-    z = jax.nn.sigmoid(xz + hz)
-    n = jnp.tanh(xn + r * hn)
-    h_new = ((1.0 - z) * n + z * h.astype(jnp.float32)).astype(h_scr.dtype)
+        r = jax.nn.sigmoid(xr + hr)
+        z = jax.nn.sigmoid(xz + hz)
+        n = jnp.tanh(xn + r * hn)
+        h = ((1.0 - z) * n + z * h).astype(jnp.float32)
+        ys_ref[t] = h.astype(ys_ref.dtype)
 
-    h_scr[:] = h_new
-    ys_ref[0] = h_new.astype(ys_ref.dtype)
+    h_scr[:] = h.astype(h_scr.dtype)
 
 
 def _scan_recurrence(x_proj, w_hh, b_hh, h0):
@@ -94,31 +100,33 @@ def _forward_pallas(x_proj, w_hh, b_hh, h0):
     B, T, threeH = x_proj.shape
     H = threeH // 3
     pad_b = (-B) % 8
-    if pad_b:
-        x_proj = jnp.pad(x_proj, [(0, pad_b), (0, 0), (0, 0)])
+    pad_t = (-T) % TIME_BLOCK
+    if pad_b or pad_t:
+        x_proj = jnp.pad(x_proj, [(0, pad_b), (0, pad_t), (0, 0)])
         h0 = jnp.pad(h0, [(0, pad_b), (0, 0)])
     Bp = B + pad_b
+    Tp = T + pad_t
 
-    # time-major so per-step blocks are (1, B, 3H): the last two dims then
-    # satisfy the (8, 128) tile constraint
-    xp_tm = jnp.swapaxes(x_proj, 0, 1)  # (T, Bp, 3H)
+    # time-major so per-step blocks are (TIME_BLOCK, B, 3H): the last two
+    # dims then satisfy the (8, 128) tile constraint
+    xp_tm = jnp.swapaxes(x_proj, 0, 1)  # (Tp, Bp, 3H)
 
     ys_tm = pl.pallas_call(
         functools.partial(_gru_kernel, hidden=H),
-        grid=(T,),
+        grid=(Tp // TIME_BLOCK,),
         in_specs=[
-            pl.BlockSpec((1, Bp, threeH), lambda t: (t, 0, 0)),
+            pl.BlockSpec((TIME_BLOCK, Bp, threeH), lambda t: (t, 0, 0)),
             pl.BlockSpec((H, threeH), lambda t: (0, 0)),
             pl.BlockSpec((1, threeH), lambda t: (0, 0)),
             pl.BlockSpec((Bp, H), lambda t: (0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, Bp, H), lambda t: (t, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((T, Bp, H), x_proj.dtype),
+        out_specs=pl.BlockSpec((TIME_BLOCK, Bp, H), lambda t: (t, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((Tp, Bp, H), x_proj.dtype),
         scratch_shapes=[pltpu.VMEM((Bp, H), jnp.float32)],
         interpret=jax.default_backend() == "cpu",
     )(xp_tm, w_hh, b_hh.reshape(1, threeH), h0)
 
-    ys = jnp.swapaxes(ys_tm, 0, 1)[:B]
+    ys = jnp.swapaxes(ys_tm, 0, 1)[:B, :T]
     return ys, ys[:, -1]
 
 
