@@ -188,6 +188,9 @@ class DataConfig(ArgparseMixin):
     flip_probability: float = 0.5
     mask_vad: bool = False
     mask_vad_probability: float = 0.4
+    # "resample" (fast, shifts tempo too) or "psola" (tempo-preserving
+    # TD-PSOLA, parity with torchaudio PitchShift semantics; host-side cost)
+    pitch_mode: str = "resample"
     batch_size: int = 16
     num_workers: int = 2
 

@@ -4,11 +4,11 @@ Mirrors the reference's training-time batch mutations:
 * `SymmetricSpeakers` — flip stereo channels + VAD channels with p=0.5
   (vap/callbacks.py:33-79); the model should be speaker-symmetric.
 * `Augmentation` — randomly apply one of {gaussian noise, frequency
-  masking, naive pitch shift} (vap/transforms.py:11-138). The reference's
-  PitchShift uses torchaudio (sox); parselmouth/torchaudio are unavailable
-  here, so pitch shift is a polyphase resample-and-crop approximation
-  (shifts pitch AND tempo; serviceable as augmentation, not for probes —
-  the prosody probes in data/phrases use the DSP module instead).
+  masking, pitch shift} (vap/transforms.py:11-138). Pitch shift has two
+  modes: `pitch_mode="resample"` (fast polyphase resample-and-crop; shifts
+  pitch AND tempo) and `pitch_mode="psola"` (TD-PSOLA from ops/prosody.py;
+  tempo-preserving like the reference's torchaudio PitchShift, ~0.26 s per
+  20 s channel on host).
 
 All transforms are pure functions over (batch, key); device-side where it
 matters (noise, freq-mask via jit), host-side NumPy for resample.
@@ -125,6 +125,21 @@ def naive_pitch_shift(
     return y[..., :n]
 
 
+def psola_pitch_shift(waveform: np.ndarray, n_semitones: float) -> np.ndarray:
+    """Tempo-preserving pitch shift via TD-PSOLA (ops/prosody.py), matching
+    the semantics of the reference's torchaudio PitchShift
+    (vap/transforms.py:93-107): F0 scales by 2^(semitones/12), duration and
+    temporal alignment (VAD frames) are unchanged. ~0.26 s/channel of 20 s
+    audio on host, so this is the opt-in `pitch_mode="psola"` path."""
+    from voiceactivityprojection_tpu.ops.prosody import shift_pitch
+
+    factor = 2.0 ** (n_semitones / 12.0)
+    wf = np.asarray(waveform, dtype=np.float32)
+    flat = wf.reshape(-1, wf.shape[-1])
+    out = np.stack([shift_pitch(ch, factor) for ch in flat])
+    return out.reshape(wf.shape)
+
+
 class Augmentation:
     """Randomly apply one augmentation per batch (vap/transforms.py:11-71).
 
@@ -137,10 +152,14 @@ class Augmentation:
         max_pitch_semitones: int = 2,
         probability: float = 0.5,
         seed: int = 0,
+        pitch_mode: str = "resample",
     ):
+        if pitch_mode not in ("resample", "psola"):
+            raise ValueError(f"pitch_mode must be 'resample' or 'psola', got {pitch_mode!r}")
         self.noise_amplitude = noise_amplitude
         self.max_pitch = max_pitch_semitones
         self.probability = probability
+        self.pitch_mode = pitch_mode
         self.np_rng = np.random.default_rng(seed)
 
     def __call__(self, batch: Dict, key: jax.Array) -> Dict:
@@ -158,7 +177,8 @@ class Augmentation:
             semis = float(self.np_rng.uniform(1, self.max_pitch + 1)) * (
                 1 if self.np_rng.random() < 0.5 else -1
             )
-            out["waveform"] = jnp.asarray(
-                naive_pitch_shift(np.asarray(batch["waveform"]), semis)
+            shift = (
+                psola_pitch_shift if self.pitch_mode == "psola" else naive_pitch_shift
             )
+            out["waveform"] = jnp.asarray(shift(np.asarray(batch["waveform"]), semis))
         return out

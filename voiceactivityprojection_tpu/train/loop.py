@@ -63,13 +63,34 @@ def run_name(conf: VapConfig) -> str:
 
 
 class JsonlLogger:
-    def __init__(self, path: Optional[str]):
+    """stdout + JSONL metrics sink; optional W&B mirror.
+
+    The reference logs through Lightning's WandbLogger (project "VapGPT",
+    run name encoding the architecture, vap/train.py:206-211). wandb is not
+    in this image; when `VAP_WANDB=1` and the package imports, every record
+    is mirrored to a wandb run with the same project/name semantics —
+    otherwise JSONL is the durable log.
+    """
+
+    def __init__(self, path: Optional[str], run_name: Optional[str] = None):
         self.path = path
         if path:
             os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
             self.f = open(path, "a")
         else:
             self.f = None
+        self.wandb = None
+        if os.environ.get("VAP_WANDB") == "1":
+            try:
+                import wandb  # type: ignore
+
+                self.wandb = wandb.init(
+                    project=os.environ.get("VAP_WANDB_PROJECT", "VapGPT"),
+                    name=run_name,
+                    resume="allow",
+                )
+            except Exception as e:  # package absent or init failure: JSONL only
+                print(f"wandb mirror disabled: {e}", flush=True)
 
     def log(self, record: Dict) -> None:
         msg = " ".join(
@@ -80,10 +101,18 @@ class JsonlLogger:
         if self.f:
             self.f.write(json.dumps(record) + "\n")
             self.f.flush()
+        if self.wandb is not None:
+            step = record.get("step")
+            self.wandb.log(
+                {k: v for k, v in record.items() if isinstance(v, (int, float))},
+                step=step if isinstance(step, int) else None,
+            )
 
     def close(self):
         if self.f:
             self.f.close()
+        if self.wandb is not None:
+            self.wandb.finish()
 
 
 class Trainer:
@@ -110,7 +139,9 @@ class Trainer:
         self.name = run_name(self.model_conf)
         self.out_dir = os.path.join(out_dir, self.name)
         os.makedirs(self.out_dir, exist_ok=True)
-        self.logger = JsonlLogger(os.path.join(self.out_dir, "metrics.jsonl"))
+        self.logger = JsonlLogger(
+            os.path.join(self.out_dir, "metrics.jsonl"), run_name=self.name
+        )
 
         self.mono = bool(getattr(self.model_conf, "mono", False))
         self.mesh = make_mesh(n_data=n_devices)
@@ -127,7 +158,7 @@ class Trainer:
             self.train_step = make_train_step(self.model_conf, self.tx)
             self.eval_step = make_eval_step(self.model_conf)
         self.event_extractor = TurnTakingEvents(self.event_conf, seed=seed)
-        self.augment = Augmentation(seed=seed)
+        self.augment = Augmentation(seed=seed, pitch_mode=self.data_conf.pitch_mode)
         self.plateau = ReduceLROnPlateau(
             factor=self.opt_conf.lr_scheduler_factor,
             patience=self.opt_conf.lr_scheduler_patience,
