@@ -51,10 +51,19 @@ def main() -> None:
         # scalar summary: forces full execution before the host fetch returns
         return p["p_now"].sum() + p["H"].sum()
 
-    # compile + warmup (host fetch = hard synchronization)
+    # compile (host fetch = hard synchronization)
     t0 = time.time()
     float(step(params, waveforms[0]))
     compile_s = time.time() - t0
+
+    # warmup: the first several post-compile dispatches through the axon
+    # tunnel run far slower than steady state (measured: the first timed
+    # 10-iter round after compile averages ~10x the settled per-iter time);
+    # chain a full warmup round and sync before timing
+    acc = jnp.zeros(())
+    for i in range(10):
+        acc = acc + step(params, waveforms[i % len(waveforms)])
+    float(acc)
 
     iters = 10
     t0 = time.time()

@@ -152,3 +152,50 @@ def test_checkpoint_roundtrip(corpus, tmp_path):
     restored = restore_checkpoint(path, {"params": params})
     for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(restored["params"])):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_jsonl_logger_wandb_mirror(tmp_path, monkeypatch):
+    """VAP_WANDB=1 mirrors numeric records to a wandb run; absence of the
+    package degrades gracefully to JSONL-only (reference uses Lightning's
+    WandbLogger, vap/train.py:206-211)."""
+    import sys
+    import types
+
+    from voiceactivityprojection_tpu.train.loop import JsonlLogger
+
+    calls = {}
+
+    fake = types.ModuleType("wandb")
+
+    class _Run:
+        def log(self, record, step=None):
+            calls.setdefault("records", []).append((dict(record), step))
+
+        def finish(self):
+            calls["finished"] = True
+
+    def _init(**kw):
+        calls["init"] = kw
+        return _Run()
+
+    fake.init = _init
+    monkeypatch.setitem(sys.modules, "wandb", fake)
+    monkeypatch.setenv("VAP_WANDB", "1")
+
+    lg = JsonlLogger(str(tmp_path / "m.jsonl"), run_name="testrun")
+    lg.log({"step": 3, "loss": 0.5, "note": "skip-me"})
+    lg.close()
+
+    assert calls["init"]["project"] == "VapGPT"
+    assert calls["init"]["name"] == "testrun"
+    (rec, step), = calls["records"]
+    assert rec == {"step": 3, "loss": 0.5} and step == 3
+    assert calls["finished"]
+
+    # without the env var: no wandb touch even if importable
+    calls.clear()
+    monkeypatch.delenv("VAP_WANDB")
+    lg2 = JsonlLogger(str(tmp_path / "m2.jsonl"))
+    lg2.log({"loss": 1.0})
+    lg2.close()
+    assert "init" not in calls

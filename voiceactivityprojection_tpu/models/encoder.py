@@ -79,8 +79,28 @@ def init_encoder(key: jax.Array, dim: int = 256) -> Params:
 
 
 def _conv_stack(params: Params, x: jax.Array) -> jax.Array:
-    """(B, T, 1) samples -> (B, T/160, C) features @ 100 Hz."""
-    for layer, (k, s, p) in zip(params["gEncoder"], CPC_CONV_SPECS):
+    """(B, T, 1) samples -> (B, T/160, C) features @ 100 Hz.
+
+    VAP_CONV_IMPL=fused routes conv0+conv1 through the Pallas kernel
+    (ops/conv_fused.py), which keeps conv0's (B, T/5, 256) intermediate in
+    VMEM. Measured on v5e at the bench shape it wins in isolation (46.7 ms
+    vs 49.4 ms XLA) but loses ~2% inside the full jitted forward (113.0 vs
+    110.8 ms steady-state) — XLA overlaps the unfused convs with
+    surrounding work better — so the default stays XLA.
+    """
+    import os
+
+    start = 0
+    if os.environ.get("VAP_CONV_IMPL") == "fused":
+        from voiceactivityprojection_tpu.ops.conv_fused import (
+            fused_conv01,
+            fused_conv01_supported,
+        )
+
+        if fused_conv01_supported(params):
+            x = fused_conv01(params, x[..., 0])
+            start = 2
+    for layer, (k, s, p) in zip(params["gEncoder"][start:], CPC_CONV_SPECS[start:]):
         x = conv1d(x, layer["conv"]["w"], layer["conv"]["b"], stride=s, padding=(p, p))
         x = channel_norm(x, layer["norm"]["w"], layer["norm"]["b"])
         x = jax.nn.relu(x)

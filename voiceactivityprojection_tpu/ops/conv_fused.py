@@ -206,7 +206,7 @@ def _forward_fused(enc: Params, x: jax.Array) -> jax.Array:
         num_scalar_prefetch=1,
         grid=(R, n_tiles),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # whole windows array
+            pl.BlockSpec(memory_space=pl.ANY),  # whole windows array
             pl.BlockSpec((PACK * KW, PACK * C), lambda r, i, *_: (0, 0)),
             pl.BlockSpec((1, PACK * C), lambda r, i, *_: (0, 0)),
             pl.BlockSpec((1, PACK * C), lambda r, i, *_: (0, 0)),
