@@ -47,3 +47,33 @@ def test_flash_gradients_match_dense():
     gd = jax.grad(f_dense, argnums=(0, 1, 2))(q, k, v)
     for a, b in zip(gf, gd):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+@pytest.mark.parametrize(
+    "T,bq,bk",
+    [
+        (1000, 256, 512),  # DEFAULT blocks at model length: nq != nk
+        (1024, 512, 1024),
+        (1024, 128, 512),
+        (768, 256, 128),   # block_q > block_k
+        (1000, 512, 512),
+    ],
+)
+def test_flash_unequal_blocks(T, bq, bk):
+    """Regression: the causal-skip/finalize conditions must compare row
+    ranges, not block indices — with block_q != block_k the old `ik == iq`
+    finalize never wrote q-blocks past nk, silently zeroing outputs."""
+    from voiceactivityprojection_tpu.ops.flash_alibi import _flash_forward
+
+    B, H, Dh = 1, 2, 16
+    ks = jax.random.split(jax.random.key(2), 3)
+    q = jax.random.normal(ks[0], (B, H, T, Dh))
+    k = jax.random.normal(ks[1], (B, H, T, Dh))
+    v = jax.random.normal(ks[2], (B, H, T, Dh))
+    slopes = alibi_slopes(H)
+    scale = 0.125
+
+    want = np.asarray(_dense_reference(q, k, v, slopes, scale))
+    got = np.asarray(_flash_forward(q, k, v, slopes, scale, block_q=bq, block_k=bk))
+    assert np.isfinite(got).all()
+    np.testing.assert_allclose(got, want, atol=2e-5)

