@@ -83,10 +83,10 @@ def _conv_stack(params: Params, x: jax.Array) -> jax.Array:
 
     VAP_CONV_IMPL=fused routes conv0+conv1 through the Pallas kernel
     (ops/conv_fused.py), which keeps conv0's (B, T/5, 256) intermediate in
-    VMEM. Measured on v5e at the bench shape it wins in isolation (46.7 ms
-    vs 49.4 ms XLA) but loses ~2% inside the full jitted forward (113.0 vs
-    110.8 ms steady-state) — XLA overlaps the unfused convs with
-    surrounding work better — so the default stays XLA.
+    VMEM. Measured on v5e at the bench shape it wins in isolation (43.3 ms
+    vs 49.3 ms XLA) but ties inside the full jitted forward (88.8 vs
+    88.4 ms steady-state) — XLA overlaps the unfused convs with the flash
+    attention work — so the default stays XLA.
     """
     import os
 

@@ -14,15 +14,29 @@ one matrix row carries FOUR consecutive conv0 outputs across 4*256 lanes.
       4*t4 .. 4*t4+3 — only 2x the 82 MB input;
   kernel, per (row, conv1-tile of 512) grid step:
       DMA (514, 64) window slice -> VMEM
-      conv0: (514, 64) @ block-diag(w0) (64, 1024) -> packed z0, one MXU op
-      ChannelNorm per 256-lane block via block-sum/expand matmuls + ReLU,
-      padding rows masked to literal zero (conv1's symmetric pad)
+      conv0: (T4, 128) @ block-diag(w0) (128, 1024) -> packed z0, one MXU op
+      ChannelNorm per 256-lane block: mean from the INPUT windows
+      (win @ colsum(w0), K=128), variance via block-sum/expand matmuls
+      (padded to 128 stat lanes) + ReLU; padding rows masked to literal
+      zero (conv1's symmetric pad)
       conv1: win1 = [packed_t | packed_{t+1}] (lane concat + roll-by-1)
              -> (512, 2048) @ w1 (2048, 256) MXU -> norm -> ReLU
       write the (512, 256) tile.
 
 Used on the inference/frozen-encoder path; a custom VJP falls back to the
 unfused ops for the (rare) unfrozen-encoder backward.
+
+Measured (v5e, 128 rows x 320k samples bf16): 43.3 ms vs 49.3 ms for the
+XLA unfused pair in isolation; inside the full jitted forward the two tie
+(XLA overlaps the unfused convs with flash-attention work), so the kernel
+stays opt-in via VAP_CONV_IMPL=fused.
+
+Precision note: on TPU hardware, f32 dot_generals run at MXU default
+precision (bf16-truncated operands), and this kernel groups contractions
+differently from XLA's conv lowering — conv-activation diffs vs the XLA
+path are ~1.3e-2 ON CHIP even with f32 params (interpret mode matches to
+1e-5). End-model p_now difference is 2.6e-4. Use the XLA path when
+bit-level f32 parity matters.
 """
 
 from __future__ import annotations
@@ -41,15 +55,27 @@ K1, S1, P1 = 8, 4, 2
 KW = 32                        # conv0 taps padded 10 -> 32 (DMA lane alignment: PACK*KW = 128)
 PACK = 4                       # conv0 outputs packed per row (= S1)
 C = 256
-T1_TILE = 512                  # conv1 outputs per grid step
+T1_TILE = 1024                 # conv1 outputs per grid step (bigger tiles
+                               # amortize per-grid-step overhead: ~11 us/step
+                               # measured at 512, of which only ~6 us is MXU)
 T4_TILE = T1_TILE + 8          # packed rows incl. +1 halo, sublane-aligned (8)
 
 
 def _block_mats(dtype=jnp.float32):
-    """(PACK*C, PACK) block-sum and (PACK, PACK*C) expansion constants."""
-    eye = jnp.eye(PACK, dtype=dtype)
-    bsum = jnp.repeat(eye, C, axis=0)          # (1024, 4)
-    bexp = jnp.repeat(eye, C, axis=1)          # (4, 1024)
+    """Block-sum (PACK*C, 128) and expansion (128, PACK*C) constants.
+
+    Padded to 128 in the per-block axis so every kernel operand keeps
+    >= 128 lanes (Mosaic rejects narrower blocks); columns/rows past PACK
+    are zero, so garbage in the padded stat lanes never reaches outputs.
+    """
+    # built from iota compares (Mosaic cannot lower scatter/.at[].set):
+    # bsum[i, j] = 1 iff j == i // C;  bexp[i, j] = 1 iff i == j // C
+    ri = jax.lax.broadcasted_iota(jnp.int32, (PACK * C, 128), 0) // C
+    ci = jax.lax.broadcasted_iota(jnp.int32, (PACK * C, 128), 1)
+    bsum = (ri == ci).astype(dtype)
+    ri2 = jax.lax.broadcasted_iota(jnp.int32, (128, PACK * C), 0)
+    ci2 = jax.lax.broadcasted_iota(jnp.int32, (128, PACK * C), 1) // C
+    bexp = (ri2 == ci2).astype(dtype)
     return bsum, bexp
 
 
@@ -57,6 +83,8 @@ def _fused_kernel(
     n0_ref,       # (1,) scalar-prefetch: number of REAL conv0 outputs
     win_hbm,      # (R, T4_total, 128) ANY — packed conv0 input windows
     w0_ref,       # (128, 1024) VMEM — block-diagonal conv0 weights
+    w0cs_ref,     # (128, PACK) f32 — block-diag per-tap colsum (+bias row
+                  # folded): mean of conv0 channels straight from the input
     b0_ref, g0_ref, be0_ref,   # (1, 1024) f32 — tiled conv0 bias/affine
     w1_ref,       # (2048, 256) VMEM — conv1 im2col weights (k-major)
     b1_ref, g1_ref, be1_ref,   # (1, 256) f32
@@ -104,25 +132,31 @@ def _fused_kernel(
     # on hardware AND numerically wrong (Mosaic's lane grouping for
     # (T, 1024) -> (T, 4, 256) is tile-interleaved, not contiguous, even
     # though interpret mode matches) — keep the matmul formulation.
+    # The channel MEAN comes straight from the INPUT windows:
+    # sum_c z0 = win @ blockdiag-colsum(W0) + sum(b0), a K=128 dot that is
+    # ~8x cheaper than block-summing the (T4, 1024) activations.
+    dn = (((1,), (0,)), ((), ()))
     bsum, bexp = _block_mats()
-    mean = jax.lax.dot_general(
-        z0, bsum, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) / C  # (T4_TILE, 4)
+    b0sum = jnp.sum(b0_ref[0, 0:C])
+    mean_raw = (
+        jax.lax.dot_general(
+            win_vmem[slot].astype(jnp.float32), w0cs_ref[:],
+            dimension_numbers=dn, preferred_element_type=jnp.float32,
+        )
+        + b0sum
+    ) / C  # (T4_TILE, 128); only the first PACK columns are meaningful
     mean_l = jax.lax.dot_general(
-        mean, bexp, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
+        mean_raw, bexp, dimension_numbers=dn, preferred_element_type=jnp.float32
     )
     d = z0 - mean_l
-    var = jax.lax.dot_general(
-        d * d, bsum, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) / (C - 1)  # unbiased
-    var_l = jax.lax.dot_general(
-        var, bexp, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
+    var_raw = jax.lax.dot_general(
+        d * d, bsum, dimension_numbers=dn, preferred_element_type=jnp.float32
+    ) / (C - 1)  # unbiased; padded columns hold 0 -> rsqrt(eps), zeroed by bexp
+    inv_l = jax.lax.dot_general(
+        jax.lax.rsqrt(var_raw + 1e-5), bexp,
+        dimension_numbers=dn, preferred_element_type=jnp.float32,
     )
-    z0 = d * jax.lax.rsqrt(var_l + 1e-5)
+    z0 = d * inv_l
     z0 = jnp.maximum(z0 * g0_ref[:] + be0_ref[:], 0.0)
 
     # conv1's symmetric padding is literal zeros: mask packed positions
@@ -179,12 +213,19 @@ def _prep_weights(enc: Params, dtype):
         wblock = wblock.at[
             bidx * KW : (bidx + 1) * KW, bidx * C : (bidx + 1) * C
         ].set(w0p.astype(dtype))
+    # block-diagonal per-tap channel colsum, f32, padded to 128 columns:
+    # mean of conv0's channels = (win @ w0cs + sum(b0)) / C
+    colsum = w0p.astype(jnp.float32).sum(-1)  # (KW,)
+    w0cs = jnp.zeros((PACK * KW, 128), dtype=jnp.float32)
+    for bidx in range(PACK):
+        w0cs = w0cs.at[bidx * KW : (bidx + 1) * KW, bidx].set(colsum)
     w1 = l1["conv"]["w"].astype(dtype)  # (8, 256, 256)
     w1f = w1.reshape(K1 * C, C)
     row = lambda a: a.reshape(1, -1).astype(jnp.float32)
     tile4 = lambda a: jnp.tile(a.reshape(1, -1), (1, PACK)).astype(jnp.float32)
     return (
-        wblock, tile4(l0["conv"]["b"]), tile4(l0["norm"]["w"]), tile4(l0["norm"]["b"]),
+        wblock, w0cs,
+        tile4(l0["conv"]["b"]), tile4(l0["norm"]["w"]), tile4(l0["norm"]["b"]),
         w1f, row(l1["conv"]["b"]), row(l1["norm"]["w"]), row(l1["norm"]["b"]),
     )
 
@@ -208,6 +249,7 @@ def _forward_fused(enc: Params, x: jax.Array) -> jax.Array:
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),  # whole windows array
             pl.BlockSpec((PACK * KW, PACK * C), lambda r, i, *_: (0, 0)),
+            pl.BlockSpec((PACK * KW, 128), lambda r, i, *_: (0, 0)),
             pl.BlockSpec((1, PACK * C), lambda r, i, *_: (0, 0)),
             pl.BlockSpec((1, PACK * C), lambda r, i, *_: (0, 0)),
             pl.BlockSpec((1, PACK * C), lambda r, i, *_: (0, 0)),
