@@ -104,14 +104,18 @@ def attention_dense(
     scores = scores + bias
     scores = jnp.where(j <= i, scores, -jnp.inf)
 
-    if v.dtype == jnp.bfloat16 and not return_weights:
+    training = dropout_rate > 0.0 and dropout_key is not None
+    if v.dtype == jnp.bfloat16 and not return_weights and not training:
         # bf16 score storage: the (B, H, T, T) score/weight arrays are the
         # only O(T^2) HBM traffic in the model; storing them bf16 (max/exp
         # still per-element f32, fused by XLA) halves it. Measured on v5e
         # at (B=64, H=4, T=1000): 3.4 ms vs 5.3 ms per pass, with output
         # error at the bf16-output quantization level (4e-3, identical to
-        # the flash kernel's). The f32 path below stays bit-exact for
-        # parity and analysis (return_weights).
+        # the flash kernel's). Inference/eval only: the decomposed softmax
+        # breaks XLA's fused softmax-grad pattern and slows the training
+        # backward (measured 151 vs 133 ms/step at B=16), so the dropout
+        # path keeps the f32 softmax. The f32 path below stays bit-exact
+        # for parity and analysis (return_weights).
         s16 = jnp.maximum(scores, jnp.float32(-1e30)).astype(jnp.bfloat16)
         m = s16.max(axis=-1, keepdims=True)
         e = jnp.exp((s16 - m).astype(jnp.float32)).astype(jnp.bfloat16)
