@@ -1,0 +1,147 @@
+"""Training flash attention (ALiBi + causal + in-kernel dropout, flash
+backward): parity vs a dense reference that applies the SAME hash-derived
+dropout mask (`dropout_mask_reference` is the oracle the kernels must
+reproduce). Interpret mode on CPU."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from voiceactivityprojection_tpu.ops.attention import alibi_slopes
+from voiceactivityprojection_tpu.ops.flash_alibi_train import (
+    _flash_train_forward,
+    dropout_mask_reference,
+    flash_alibi_attention_train,
+)
+
+pytestmark = [pytest.mark.transformer]
+
+B, H, T, DH = 1, 2, 160, 32
+SCALE = 1.0 / np.sqrt(H * DH)
+
+
+@pytest.fixture(scope="module")
+def qkv():
+    ks = jax.random.split(jax.random.key(0), 3)
+    mk = lambda k: jax.random.normal(k, (B, H, T, DH), jnp.float32) * 0.3
+    return mk(ks[0]), mk(ks[1]), mk(ks[2])
+
+
+def dense_ref(q, k, v, slopes, scale, mask=None, rate=0.0):
+    Tq = q.shape[2]
+    s = jnp.einsum("bhid,bhjd->bhij", q, k) * scale
+    i = jnp.arange(Tq)[:, None]
+    j = jnp.arange(Tq)[None, :]
+    s = s + slopes[None, :, None, None] * (j - i)
+    s = jnp.where(j <= i, s, -jnp.inf)
+    w = jax.nn.softmax(s, axis=-1)
+    if mask is not None:
+        w = jnp.where(mask, w / (1.0 - rate), 0.0)
+    return jnp.einsum("bhij,bhjd->bhid", w, v)
+
+
+def oracle_mask(seed, rate):
+    m = jnp.stack(
+        [dropout_mask_reference(seed, bh, T, rate) for bh in range(B * H)]
+    )
+    return m.reshape(B, H, T, T)
+
+
+def test_forward_no_dropout(qkv):
+    q, k, v = qkv
+    slopes = alibi_slopes(H)
+    seed = jnp.zeros((), jnp.int32)
+    got = flash_alibi_attention_train(q, k, v, slopes, seed, SCALE, 0.0)
+    want = dense_ref(q, k, v, slopes, SCALE)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+def test_backward_no_dropout(qkv):
+    q, k, v = qkv
+    slopes = alibi_slopes(H)
+    seed = jnp.zeros((), jnp.int32)
+    cot = jax.random.normal(jax.random.key(9), (B, H, T, DH))
+
+    def f_flash(q, k, v):
+        return jnp.sum(
+            flash_alibi_attention_train(q, k, v, slopes, seed, SCALE, 0.0) * cot
+        )
+
+    def f_dense(q, k, v):
+        return jnp.sum(dense_ref(q, k, v, slopes, SCALE) * cot)
+
+    g1 = jax.grad(f_flash, argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(f_dense, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-5)
+
+
+@pytest.mark.parametrize("rate", [0.1, 0.5])
+def test_forward_dropout_matches_masked_dense(qkv, rate):
+    q, k, v = qkv
+    slopes = alibi_slopes(H)
+    seed = jnp.asarray(1234, jnp.int32)
+    got = flash_alibi_attention_train(q, k, v, slopes, seed, SCALE, rate)
+    want = dense_ref(
+        q, k, v, slopes, SCALE, mask=oracle_mask(seed, rate), rate=rate
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=3e-5)
+
+
+def test_backward_dropout_matches_masked_dense(qkv):
+    q, k, v = qkv
+    rate = 0.1
+    slopes = alibi_slopes(H)
+    seed = jnp.asarray(77, jnp.int32)
+    mask = oracle_mask(seed, rate)
+    cot = jax.random.normal(jax.random.key(9), (B, H, T, DH))
+
+    def f_flash(q, k, v):
+        return jnp.sum(
+            flash_alibi_attention_train(q, k, v, slopes, seed, SCALE, rate) * cot
+        )
+
+    def f_dense(q, k, v):
+        return jnp.sum(dense_ref(q, k, v, slopes, SCALE, mask, rate) * cot)
+
+    g1 = jax.grad(f_flash, argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(f_dense, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5)
+
+
+def test_mask_independent_of_blocking(qkv):
+    """The coordinate hash must regenerate the same mask under any block
+    shape (the backward may be blocked differently from the forward)."""
+    q, k, v = qkv
+    slopes = alibi_slopes(H)
+    seed = jnp.asarray(5, jnp.int32)
+    a, _ = _flash_train_forward(
+        q, k, v, slopes, seed, SCALE, 0.3, block_q=256, block_k=256
+    )
+    b, _ = _flash_train_forward(
+        q, k, v, slopes, seed, SCALE, 0.3, block_q=256, block_k=128
+    )
+    c, _ = _flash_train_forward(
+        q, k, v, slopes, seed, SCALE, 0.3, block_q=128, block_k=256
+    )
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(c), atol=2e-5)
+
+
+def test_seed_changes_mask(qkv):
+    q, k, v = qkv
+    slopes = alibi_slopes(H)
+    f = lambda s: flash_alibi_attention_train(
+        q, k, v, slopes, jnp.asarray(s, jnp.int32), SCALE, 0.2
+    )
+    a, a2, b = f(1), f(1), f(2)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(a2))
+    assert not np.allclose(np.asarray(a), np.asarray(b))
+
+
+def test_keep_rate_statistics():
+    rate = 0.25
+    m = np.asarray(oracle_mask(jnp.asarray(3, jnp.int32), rate))
+    assert abs(m.mean() - (1 - rate)) < 0.01

@@ -97,6 +97,42 @@ def test_unfrozen_encoder_trains():
     )
 
 
+def test_alibi_slopes_never_train():
+    """Reference stores ALiBi slopes as requires_grad=False parameters
+    (modules.py:116-121): torch AdamW never updates them (no gradient step,
+    no weight decay). Our optimizer must freeze every "m" leaf — including
+    with an unfrozen encoder — and no gradient may reach them."""
+    conf = VapConfig(
+        dim=16, encoder_dim=16, channel_layers=1, cross_layers=1,
+        freeze_encoder=False,
+    )
+    params = init_vap(jax.random.key(0), conf)
+
+    def slope_leaves(tree):
+        out = []
+        jax.tree_util.tree_map_with_path(
+            lambda path, leaf: out.append(np.asarray(leaf))
+            if getattr(path[-1], "key", None) == "m"
+            else None,
+            tree,
+        )
+        return out
+
+    before = slope_leaves(params)
+    assert before, "expected ALiBi slope leaves in the param tree"
+
+    grads = jax.grad(lambda p: loss_fn(p, small_batch(), conf)[0])(params)
+    for g in slope_leaves(grads):
+        np.testing.assert_array_equal(g, np.zeros_like(g))
+
+    tx = make_optimizer(OPT, freeze_encoder=False)
+    state = init_train_state(params, tx)
+    step = make_train_step(conf, tx)
+    state, _ = step(state, small_batch(), jax.random.key(0))
+    for a, b in zip(before, slope_leaves(state.params)):
+        np.testing.assert_array_equal(a, b)
+
+
 def test_lr_plateau_and_early_stop():
     params = init_vap(jax.random.key(0), CONF)
     tx = make_optimizer(OPT, freeze_encoder=True)

@@ -90,8 +90,14 @@ def _conv_stack(params: Params, x: jax.Array) -> jax.Array:
     """
     import os
 
+    impl = os.environ.get("VAP_CONV_IMPL")
+    if impl == "fused_stack":
+        # experimental: ALL five conv layers in one VMEM-resident kernel
+        from voiceactivityprojection_tpu.ops.conv_stack_fused import fused_conv_stack
+
+        return fused_conv_stack(params, x[..., 0])
     start = 0
-    if os.environ.get("VAP_CONV_IMPL") == "fused":
+    if impl == "fused":
         from voiceactivityprojection_tpu.ops.conv_fused import (
             fused_conv01,
             fused_conv01_supported,

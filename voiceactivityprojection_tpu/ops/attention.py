@@ -99,7 +99,9 @@ def attention_dense(
     ) * scale
     i = jnp.arange(T)[:, None]
     j = jnp.arange(kv_in.shape[1])[None, :]
-    slopes = params["m"].astype(scores.dtype)
+    # slopes are non-trainable in the reference (requires_grad=False,
+    # modules.py:116-121): no gradient may flow into them
+    slopes = jax.lax.stop_gradient(params["m"]).astype(scores.dtype)
     bias = slopes[:, None, None] * (j - i)[None, :, :]
     scores = scores + bias
     scores = jnp.where(j <= i, scores, -jnp.inf)
@@ -149,6 +151,7 @@ def attention(
     no attention dropout); "xla" forces the dense path; "auto" picks
     pallas on TPU when weights aren't requested and dropout is off.
     """
+    training = dropout_rate > 0.0 and dropout_key is not None
     use_pallas = False
     if impl == "pallas":
         use_pallas = True
@@ -158,22 +161,39 @@ def attention(
         # = 3.39 ms, dense f32 = 5.29 ms — the O(T^2) score HBM traffic is
         # the model's top cost, so flash wins at every size on TPU (and is
         # the only option once scores exceed HBM for long single-shot
-        # audio). Dense remains for: CPU (interpret mode is slow), weight
-        # outputs (analysis/plots), and attention dropout (training).
+        # audio). With attention dropout (training) the flash TRAIN kernel
+        # applies the mask in-kernel from a coordinate hash and runs a
+        # flash backward — no (B, H, T, T) scores/weights/masks in HBM
+        # either way. Dense remains for: CPU (interpret mode is slow) and
+        # weight outputs (analysis/plots).
         use_pallas = (
             not return_weights
-            and (dropout_rate == 0.0 or dropout_key is None)
             and jax.default_backend() not in ("cpu",)
         )
     if use_pallas:
-        from voiceactivityprojection_tpu.ops.flash_alibi import flash_alibi_attention
-
         D = q_in.shape[-1]
         scale = 1.0 / math.sqrt(D)
         q = _split_heads(q_in @ params["query"]["w"].T, num_heads)
         k = _split_heads(kv_in @ params["key"]["w"].T, num_heads)
         v = _split_heads(kv_in @ params["value"]["w"].T, num_heads)
-        out = flash_alibi_attention(q, k, v, params["m"], scale)
+        slopes = jax.lax.stop_gradient(params["m"])
+        if training:
+            from voiceactivityprojection_tpu.ops.flash_alibi_train import (
+                flash_alibi_attention_train,
+            )
+
+            seed = jax.random.randint(
+                dropout_key, (), 0, jnp.iinfo(jnp.int32).max, dtype=jnp.int32
+            )
+            out = flash_alibi_attention_train(
+                q, k, v, slopes, seed, scale, float(dropout_rate)
+            )
+        else:
+            from voiceactivityprojection_tpu.ops.flash_alibi import (
+                flash_alibi_attention,
+            )
+
+            out = flash_alibi_attention(q, k, v, slopes, scale)
         out = _merge_heads(out) @ params["proj"]["w"].T
         return out, None
     return attention_dense(

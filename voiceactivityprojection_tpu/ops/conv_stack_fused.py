@@ -1,0 +1,348 @@
+"""Experimental: the ENTIRE CPC conv stack (conv0..conv4) in one Pallas
+TPU kernel, VMEM-resident between layers.
+
+Why: unfused, conv0's (R, n/5, 256) output (4.2 GB bf16 at the bench
+shape) must round-trip HBM for ChannelNorm, putting an HBM floor of
+~27 ms on conv0 alone and ~51 ms on the 5-layer stack (measured v5e,
+128 rows x 320k samples). Keeping every intermediate in VMEM removes all
+of it: HBM traffic collapses to the packed input windows (~0.5 GB read)
+plus the final 100 Hz features (~0.26 GB write).
+
+Reference semantics mirrored exactly (encoder_components.py:73-104): five
+Conv1d layers k=10,8,4,4,4 / s=5,4,2,2,2 / symmetric pad 3,2,1,1,1, each
+followed by ChannelNorm (unbiased variance) + ReLU.
+
+Layout — PARITY-SPLIT rows (the key trick): Mosaic cannot take stride-2
+sublane slices, which a stride-2 conv chain naively needs at every level.
+Instead each level's activation lives as SEPARATE VMEM arrays per row
+parity: conv0's packed rows (4 outputs / row, as in ops/conv_fused.py)
+split mod 8, conv1 outputs mod 8, conv2 mod 4, conv3 mod 2, conv4 dense.
+A stride-2 window then reads CONSECUTIVE rows of the right parity arrays
+(plus +-1 row handled with pltpu.roll), and every layer is a plain
+lane-concat + one MXU matmul per parity:
+
+  z1_p[s]  = [z0_p[s] | z0_{p+1}[s]]                    @ W1   (p mod 8)
+  z2_q[m]  = [z1_{2q-1} | z1_2q | z1_{2q+1} | z1_{2q+2}] @ W2  (q mod 4)
+  z3_r[m]  = [z2_{2r-1} | z2_2r | z2_{2r+1} | z2_{2r+2}] @ W3  (r mod 2)
+  z4[m]    = [z3_1 | z3_0^-1 | z3_1^-1 | z3_0^-2]        @ W4
+  (negative parities wrap to the other array rolled by one row)
+
+Each grid step produces T4OUT=128 conv4 outputs (= 1024 conv1 outputs)
+for one input row; the halo needed across all levels is 8 conv1 rows on
+the left and 48 on the right, covered by an 8-row (64 packed-row)
+overlap in the DMA window, masked by global-index validity at each level
+(symmetric zero padding == zeroed out-of-range rows).
+
+ChannelNorm: level 0 uses the block-layout stats of ops/conv_fused.py
+(mean from the input windows, variance via padded block-sum/expand
+matmuls); levels 1-4 are feature-last (M, 256) so plain lane reductions
+work.
+
+Opt-in via VAP_CONV_IMPL=fused_stack; the default path remains XLA.
+Backward falls back to the unfused ops via custom VJP.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from voiceactivityprojection_tpu.ops.conv_fused import (
+    C,
+    K0,
+    K1,
+    KW,
+    P0,
+    P1,
+    S0,
+    S1,
+    _block_mats,
+)
+
+Params = Dict[str, Any]
+
+PACK = 4                 # conv0 outputs per packed row (as conv_fused)
+NPAR = 8                 # parity split of conv1/packed-z0 rows
+T1OUT = 2048             # conv1 outputs per grid step (bigger M per parity
+                         # matmul: at 1024/MS=136 the kernel measured
+                         # overhead-bound, 46.6 ms ~= XLA)
+T4OUT = T1OUT // 8       # conv4 outputs per grid step
+MS = T1OUT // 8 + 16     # rows per parity array (+ halo, mult of 8)
+LEFT = 8                 # left halo in conv1 rows (one parity row)
+# conv2..conv4 all share (k=4, s=2, pad=1)
+KU, SU, PU = 4, 2, 1
+
+
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def _out_len(n: int, k: int, s: int, p: int) -> int:
+    return (n + 2 * p - k) // s + 1
+
+
+def _kernel(
+    ns_ref,     # (5,) SMEM: n0p (conv0 outs + 2*P1), n1, n2, n3, n4
+    win_hbm,    # (R, W, NPAR*128) ANY: parity-split packed input windows
+    w0_ref,     # (128, 1024) conv0 block-diag weights
+    w0cs_ref,   # (128, 128) conv0 colsum (mean from input)
+    b0_ref, g0_ref, be0_ref,     # (1, 1024)
+    w1_ref,     # (2048, 256)
+    b1_ref, g1_ref, be1_ref,     # (1, 256)
+    w2_ref,     # (1024, 256)
+    b2_ref, g2_ref, be2_ref,
+    w3_ref,     # (1024, 256)
+    b3_ref, g3_ref, be3_ref,
+    w4_ref,     # (1024, 256)
+    b4_ref, g4_ref, be4_ref,
+    o_ref,      # (1, T4OUT, 256)
+    win_vmem,   # (2, MS, NPAR*128) double-buffered DMA scratch
+    sem,        # (2,)
+):
+    r = pl.program_id(0)
+    i = pl.program_id(1)
+    n_tiles = pl.num_programs(1)
+    n_rows = pl.num_programs(0)
+    step = r * n_tiles + i
+    slot = step % 2
+
+    def dma_for(row, tile, s):
+        return pltpu.make_async_copy(
+            win_hbm.at[row, pl.ds(tile * (T1OUT // NPAR), MS), :],
+            win_vmem.at[s], sem.at[s],
+        )
+
+    @pl.when(step == 0)
+    def _warm():
+        dma_for(r, i, slot).start()
+
+    nxt = step + 1
+    nr = nxt // n_tiles
+    ni = nxt % n_tiles
+
+    @pl.when(nxt < n_rows * n_tiles)
+    def _prefetch():
+        dma_for(nr, ni, (slot + 1) % 2).start()
+
+    dma_for(r, i, slot).wait()
+
+    f32 = jnp.float32
+    dn = (((1,), (0,)), ((), ()))
+    dot = lambda a, b: jax.lax.dot_general(
+        a, b, dimension_numbers=dn, preferred_element_type=f32
+    )
+    n0p, n1, n2, n3, n4 = (ns_ref[j] for j in range(5))
+    rows = jax.lax.broadcasted_iota(jnp.int32, (MS, PACK * C), 0)
+    blocks = jax.lax.broadcasted_iota(jnp.int32, (MS, PACK * C), 1) // C
+    rows256 = jax.lax.broadcasted_iota(jnp.int32, (MS, C), 0)
+    bsum, bexp = _block_mats()
+
+    # ---- level 0: conv0 + block ChannelNorm + ReLU, per parity ----------
+    # parity p, local row s -> packed z0 row g = i*T1OUT - LEFT + 8s + p
+    z0 = []
+    for p in range(NPAR):
+        win_p = win_vmem[slot][:, p * 128 : (p + 1) * 128]
+        z = dot(win_p, w0_ref[:]) + b0_ref[:]          # (MS, 1024)
+        mean_raw = (dot(win_p.astype(f32), w0cs_ref[:]) + jnp.sum(b0_ref[0, 0:C])) / C
+        mean_l = dot(mean_raw, bexp)
+        d = z - mean_l
+        var_raw = dot(d * d, bsum) / (C - 1)
+        inv_l = dot(jax.lax.rsqrt(var_raw + 1e-5), bexp)
+        z = jnp.maximum(d * inv_l * g0_ref[:] + be0_ref[:], 0.0)
+        # conv1's symmetric pad: zero conv0 positions outside [P1, n0p - P1)
+        g = i * T1OUT - LEFT + 8 * rows + p
+        t0p = PACK * g + blocks
+        z = jnp.where((t0p >= P1) & (t0p < n0p - P1), z, 0.0)
+        # store inter-level activations in the I/O dtype (bf16 in mixed
+        # precision): halves VMEM residency, matching the XLA path's
+        # layer-boundary precision
+        z0.append(z.astype(o_ref.dtype))
+
+    def lane_norm(z, gm, bt):
+        mu = z.mean(-1, keepdims=True)
+        var = z.var(-1, keepdims=True) * (C / (C - 1))
+        return jnp.maximum((z - mu) * jax.lax.rsqrt(var + 1e-5) * gm[:] + bt[:], 0.0)
+
+    def tap(arrs, np_l, npos):
+        """Row m of the result holds level value at local index np_l*m + npos.
+
+        par = npos mod np_l selects the parity array; d = floor(npos/np_l)
+        is a whole-row offset realized as a roll (out[m] = arr[m + d]).
+        Rows that wrap are out-of-halo and never reach valid outputs.
+        """
+        par = npos % np_l
+        d = npos // np_l  # Python floor division: negative npos -> d = -1
+        a = arrs[par]
+        if d == 0:
+            return a
+        if a.dtype.itemsize < 4:
+            # Mosaic only supports 32-bit sublane rotates: roll in f32
+            return pltpu.roll(
+                a.astype(jnp.float32), shift=(-d) % MS, axis=0
+            ).astype(a.dtype)
+        return pltpu.roll(a, shift=(-d) % MS, axis=0)
+
+    # ---- level 1: conv1, 8 parities; t = i*T1OUT - LEFT + 8s + p --------
+    # out t needs packed z0 rows t, t+1 -> local indices 8s+p, 8s+p+1
+    z1 = []
+    for p in range(NPAR):
+        w = jnp.concatenate(
+            [tap(z0, NPAR, p), tap(z0, NPAR, p + 1)], axis=-1
+        ).astype(w1_ref.dtype)
+        z = dot(w, w1_ref[:]) + b1_ref[:]
+        z = lane_norm(z, g1_ref, be1_ref)
+        t = i * T1OUT - LEFT + 8 * rows256 + p
+        z1.append(jnp.where((t >= 0) & (t < n1), z, 0.0).astype(o_ref.dtype))
+
+    # ---- level 2: conv2, 4 parities; u = i*(T1OUT//2) - LEFT//2 + 4m + q
+    # input t = 2u + dtap (dtap -1..2) -> z1 local 8m + 2q + dtap
+    z2 = []
+    for q in range(4):
+        w = jnp.concatenate(
+            [tap(z1, NPAR, 2 * q + dtap) for dtap in range(-1, 3)], axis=-1
+        ).astype(w2_ref.dtype)
+        z = dot(w, w2_ref[:]) + b2_ref[:]
+        z = lane_norm(z, g2_ref, be2_ref)
+        u = i * (T1OUT // 2) - LEFT // 2 + 4 * rows256 + q
+        z2.append(jnp.where((u >= 0) & (u < n2), z, 0.0).astype(o_ref.dtype))
+
+    # ---- level 3: conv3, 2 parities; v = i*(T1OUT//4) - LEFT//4 + 2m + r
+    z3 = []
+    for rr in range(2):
+        w = jnp.concatenate(
+            [tap(z2, 4, 2 * rr + dtap) for dtap in range(-1, 3)], axis=-1
+        ).astype(w3_ref.dtype)
+        z = dot(w, w3_ref[:]) + b3_ref[:]
+        z = lane_norm(z, g3_ref, be3_ref)
+        v = i * (T1OUT // 4) - LEFT // 4 + 2 * rows256 + rr
+        z3.append(jnp.where((v >= 0) & (v < n3), z, 0.0).astype(o_ref.dtype))
+
+    # ---- level 4: conv4 dense; w_out = i*T4OUT - LEFT//8 + m ------------
+    w = jnp.concatenate(
+        [tap(z3, 2, dtap) for dtap in range(-1, 3)], axis=-1
+    ).astype(w4_ref.dtype)
+    z4 = dot(w, w4_ref[:]) + b4_ref[:]
+    z4 = lane_norm(z4, g4_ref, be4_ref)
+
+    # output rows m: w_out = i*T4OUT - LEFT//8 + m; keep m = 1 .. T4OUT
+    # (LEFT//8 == 1 left-halo row)
+    o_ref[0] = z4[1 : 1 + T4OUT].astype(o_ref.dtype)
+
+
+def _prep_stack_weights(enc: Params, dtype):
+    from voiceactivityprojection_tpu.ops.conv_fused import _prep_weights
+
+    base = _prep_weights(enc, dtype)  # conv0 + conv1 pieces
+    out = list(base)
+    row = lambda a: a.reshape(1, -1).astype(jnp.float32)
+    for li in (2, 3, 4):
+        l = enc["gEncoder"][li]
+        wf = l["conv"]["w"].astype(dtype).reshape(KU * C, C)
+        out += [wf, row(l["conv"]["b"]), row(l["norm"]["w"]), row(l["norm"]["b"])]
+    return tuple(out)
+
+
+def _input_windows_split(x: jax.Array, n_tiles: int) -> jax.Array:
+    """(R, n) -> (R, W, NPAR*128): row S, lane-block p holds the KW conv0
+    taps (x4 packed outputs) for packed z0 row g = 8S + p - LEFT, in
+    conv1-pad coordinates (left pad = S0*P1 + P0)."""
+    R, n = x.shape
+    left = S0 * P1 + P0
+    Wrows = (n_tiles - 1) * (T1OUT // NPAR) + MS
+    g_max = 8 * (Wrows - 1) + (NPAR - 1) - LEFT
+    need = S0 * (PACK * (g_max + 1) - 1) + K0
+    xp = jnp.zeros((R, left + max(need, n)), dtype=x.dtype)
+    xp = xp.at[:, left : left + n].set(x)
+    S = jnp.arange(Wrows)
+    p = jnp.arange(NPAR)
+    b = jnp.arange(PACK)
+    tap = jnp.arange(KW)
+    g = 8 * S[:, None] + p[None, :] - LEFT                    # (W, NPAR)
+    start = (PACK * g[:, :, None] + b[None, None, :]) * S0    # (W, NPAR, PACK)
+    idx = start[..., None] + tap[None, None, None, :]         # (W, NPAR, PACK, KW)
+    idx = jnp.clip(idx, 0, xp.shape[1] - 1)
+    valid = (g >= 0)[:, :, None, None]
+    vals = xp[:, idx.reshape(Wrows, NPAR * PACK * KW)]
+    vals = vals.reshape(R, Wrows, NPAR, PACK, KW)
+    vals = jnp.where(valid[None], vals, 0)
+    return vals.reshape(R, Wrows, NPAR * PACK * KW)
+
+
+def _forward_stack(enc: Params, x: jax.Array) -> jax.Array:
+    R, n = x.shape
+    dtype = x.dtype
+    n0 = _out_len(n, K0, S0, P0)
+    n1 = _out_len(n0, K1, S1, P1)
+    n2 = _out_len(n1, KU, SU, PU)
+    n3 = _out_len(n2, KU, SU, PU)
+    n4 = _out_len(n3, KU, SU, PU)
+    n_tiles = _cdiv(n4, T4OUT)
+
+    windows = _input_windows_split(x, n_tiles)
+    weights = _prep_stack_weights(enc, dtype)
+    ns = jnp.asarray([n0 + 2 * P1, n1, n2, n3, n4], dtype=jnp.int32)
+
+    lane_specs = []
+    for shape in [
+        (PACK * KW, PACK * C), (PACK * KW, 128),
+        (1, PACK * C), (1, PACK * C), (1, PACK * C),
+        (K1 * C, C), (1, C), (1, C), (1, C),
+        (KU * C, C), (1, C), (1, C), (1, C),
+        (KU * C, C), (1, C), (1, C), (1, C),
+        (KU * C, C), (1, C), (1, C), (1, C),
+    ]:
+        lane_specs.append(pl.BlockSpec(shape, lambda r, i, *_: (0, 0)))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(R, n_tiles),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] + lane_specs,
+        out_specs=pl.BlockSpec((1, T4OUT, C), lambda r, i, *_: (r, i, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((2, MS, NPAR * PACK * KW), dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    out = pl.pallas_call(
+        _kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((R, n_tiles * T4OUT, C), dtype),
+        interpret=jax.default_backend() == "cpu",
+    )(ns, windows, *weights)
+    return out[:, :n4]
+
+
+def _reference_stack(enc: Params, x: jax.Array) -> jax.Array:
+    from voiceactivityprojection_tpu.models.encoder import CPC_CONV_SPECS
+    from voiceactivityprojection_tpu.ops.conv import channel_norm, conv1d
+
+    z = x[..., None]
+    for layer, (k, s, p) in zip(enc["gEncoder"], CPC_CONV_SPECS):
+        z = conv1d(z, layer["conv"]["w"], layer["conv"]["b"], stride=s, padding=(p, p))
+        z = channel_norm(z, layer["norm"]["w"], layer["norm"]["b"])
+        z = jax.nn.relu(z)
+    return z
+
+
+@jax.custom_vjp
+def fused_conv_stack(enc: Params, x: jax.Array) -> jax.Array:
+    """x: (rows, n_samples) -> (rows, n/160, 256): the full 5-layer CPC
+    conv feature extractor (100 Hz features)."""
+    return _forward_stack(enc, x)
+
+
+def _vjp_fwd(enc, x):
+    return _forward_stack(enc, x), (enc, x)
+
+
+def _vjp_bwd(res, g):
+    enc, x = res
+    _, vjp = jax.vjp(_reference_stack, enc, x)
+    return vjp(g)
+
+
+fused_conv_stack.defvjp(_vjp_fwd, _vjp_bwd)

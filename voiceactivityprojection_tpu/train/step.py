@@ -41,7 +41,11 @@ class TrainState(NamedTuple):
 def make_optimizer(opt_conf: OptConfig, freeze_encoder: bool = True):
     """AdamW over all params (weight decay unmasked, like torch AdamW on
     `self.parameters()`); encoder subtree frozen via set_to_zero when
-    freeze_encoder (vap/encoder.py:39-42)."""
+    freeze_encoder (vap/encoder.py:39-42).
+
+    The ALiBi slope leaves ("m") are ALWAYS frozen: the reference stores
+    them as `requires_grad=False` parameters (modules.py:116-121), which
+    torch AdamW skips entirely (no update, no weight decay)."""
 
     @optax.inject_hyperparams
     def make(learning_rate):
@@ -51,16 +55,16 @@ def make_optimizer(opt_conf: OptConfig, freeze_encoder: bool = True):
             b2=opt_conf.betas[1],
             weight_decay=opt_conf.weight_decay,
         )
-        if not freeze_encoder:
-            return adamw
 
         def labels(params):
-            return jax.tree_util.tree_map_with_path(
-                lambda path, _: "freeze"
-                if getattr(path[0], "key", None) == "encoder"
-                else "train",
-                params,
-            )
+            def label(path, _):
+                if freeze_encoder and getattr(path[0], "key", None) == "encoder":
+                    return "freeze"
+                if getattr(path[-1], "key", None) == "m":
+                    return "freeze"  # non-trainable ALiBi slopes
+                return "train"
+
+            return jax.tree_util.tree_map_with_path(label, params)
 
         return optax.multi_transform(
             {"train": adamw, "freeze": optax.set_to_zero()}, labels
