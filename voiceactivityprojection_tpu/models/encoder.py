@@ -78,21 +78,28 @@ def init_encoder(key: jax.Array, dim: int = 256) -> Params:
     }
 
 
-def _conv_stack(params: Params, x: jax.Array) -> jax.Array:
+def _conv_stack(params: Params, x: jax.Array, fused_auto: bool = False) -> jax.Array:
     """(B, T, 1) samples -> (B, T/160, C) features @ 100 Hz.
 
-    VAP_CONV_IMPL=fused routes conv0+conv1 through the Pallas kernel
-    (ops/conv_fused.py), which keeps conv0's (B, T/5, 256) intermediate in
-    VMEM. Measured on v5e at the bench shape it wins in isolation (43.3 ms
-    vs 49.3 ms XLA) but ties inside the full jitted forward (88.8 vs
-    88.4 ms steady-state) — XLA overlaps the unfused convs with the flash
-    attention work — so the default stays XLA.
+    Implementation dispatch (VAP_CONV_IMPL env overrides; "xla" forces the
+    unfused path):
+    - "fused_stack" / auto on TPU: ALL five conv layers in one VMEM-resident
+      Pallas kernel (ops/conv_stack_fused.py) — no inter-layer HBM traffic.
+      Measured on v5e B=64x20s bf16: full forward 84.3 ms vs 88.8 XLA. Auto
+      only fires when the caller sets fused_auto (pure inference, rng=None):
+      in the train step the XLA convs overlap with the attention backward
+      and win (64.4 vs 67.8 ms at B=16), and the kernel's backward would
+      recompute the XLA forward for unfrozen encoders anyway.
+    - "fused": conv0+conv1 Pallas kernel (ops/conv_fused.py) + XLA rest —
+      wins in isolation (43.3 vs 49.3 ms) but ties in the full forward (XLA
+      overlaps the unfused convs with attention work); kept for comparison.
     """
     import os
 
     impl = os.environ.get("VAP_CONV_IMPL")
+    if impl is None and fused_auto and jax.default_backend() not in ("cpu",):
+        impl = "fused_stack"
     if impl == "fused_stack":
-        # experimental: ALL five conv layers in one VMEM-resident kernel
         from voiceactivityprojection_tpu.ops.conv_stack_fused import fused_conv_stack
 
         return fused_conv_stack(params, x[..., 0])
@@ -121,13 +128,16 @@ def _downsample(params: Params, x: jax.Array) -> jax.Array:
     return jax.nn.gelu(x, approximate=False)
 
 
-def apply_encoder(params: Params, waveform: jax.Array) -> jax.Array:
-    """waveform (B, n) or (B, 1, n) -> (B, T50, C)."""
+def apply_encoder(
+    params: Params, waveform: jax.Array, fused_auto: bool = False
+) -> jax.Array:
+    """waveform (B, n) or (B, 1, n) -> (B, T50, C). fused_auto opts the
+    conv stack into the fused Pallas kernel on TPU (see _conv_stack)."""
     if waveform.ndim == 3:
         assert waveform.shape[1] == 1, f"expected mono channel, got {waveform.shape}"
         waveform = waveform[:, 0]
     x = waveform[..., None]  # (B, n, 1)
-    z = _conv_stack(params, x)
+    z = _conv_stack(params, x, fused_auto=fused_auto)
     z, _ = gru(params["gAR"], z)
     return _downsample(params, z)
 

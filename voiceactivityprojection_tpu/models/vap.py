@@ -95,7 +95,7 @@ def init_vap_mono(key: jax.Array, conf: VapMonoConfig) -> Params:
 # forward (pure)
 # --------------------------------------------------------------------------
 def encode_audio(
-    params: Params, waveform: jax.Array
+    params: Params, waveform: jax.Array, fused_auto: bool = False
 ) -> Tuple[jax.Array, jax.Array]:
     """(B, 2, n_samples) -> per-channel (B, T, C) features; shared encoder
     weights applied to each channel separately (vap/model.py:169-175)."""
@@ -106,7 +106,7 @@ def encode_audio(
     # better MXU utilization than two sequential calls
     B = waveform.shape[0]
     both = waveform.reshape(B * 2, waveform.shape[-1])
-    z = apply_encoder(params["encoder"], both)
+    z = apply_encoder(params["encoder"], both, fused_auto=fused_auto)
     z = z.reshape(B, 2, *z.shape[1:])
     return z[:, 0], z[:, 1]
 
@@ -136,7 +136,11 @@ def forward(
     r = jax.random.split(rng, 3) if rng is not None else (None, None, None)
 
     params, waveform = _compute_cast(params, waveform, conf)
-    x1, x2 = encode_audio(params, waveform)
+    # fused conv stack for INFERENCE only (rng None): measured on v5e it
+    # wins the pure forward (84.3 vs 88.8 ms, B=64x20s) but loses inside
+    # the train step (67.8 vs 64.4 ms, B=16) where XLA overlaps the
+    # unfused convs with the attention backward
+    x1, x2 = encode_audio(params, waveform, fused_auto=rng is None)
     if conf.freeze_encoder:
         # frozen CPC encoder (vap/encoder.py:39-42): stop gradients at the
         # feature boundary — the optimizer mask already zeroes encoder
@@ -186,7 +190,9 @@ def forward_mono(
     if waveform.ndim == 3:
         assert waveform.shape[1] == 1, f"expected (B, 1, n), got {waveform.shape}"
         waveform = waveform[:, 0]
-    x = apply_encoder(params["encoder"], waveform)
+    x = apply_encoder(
+        params["encoder"], waveform, fused_auto=rng is None
+    )
     if conf.freeze_encoder:
         x = jax.lax.stop_gradient(x)
 
