@@ -65,11 +65,15 @@ from voiceactivityprojection_tpu.ops.conv_fused import (
 
 Params = Dict[str, Any]
 
+import os as _os
+
 PACK = 4                 # conv0 outputs per packed row (as conv_fused)
 NPAR = 8                 # parity split of conv1/packed-z0 rows
-T1OUT = 2048             # conv1 outputs per grid step (bigger M per parity
-                         # matmul: at 1024/MS=136 the kernel measured
-                         # overhead-bound, 46.6 ms ~= XLA)
+# conv1 outputs per grid step (bigger M per parity matmul: at 1024/MS=136
+# the kernel measured overhead-bound, 46.6 ms ~= XLA; 2048 is the ceiling —
+# 4096 needs a 17 MB kernel stack, over v5e's 16 MB scoped-vmem limit, and
+# fails to compile). Env override for tile experiments.
+T1OUT = int(_os.environ.get("VAP_CONV_T1OUT", "2048"))
 T4OUT = T1OUT // 8       # conv4 outputs per grid step
 MS = T1OUT // 8 + 16     # rows per parity array (+ halo, mult of 8)
 LEFT = 8                 # left halo in conv1 rows (one parity row)
