@@ -11,6 +11,16 @@ axis innermost — VMEM scratch (running max, sum, accumulator) carries
 across nk iterations (TPU grid execution is sequential). Causal blocks
 with ik > iq are skipped via `pl.when`.
 
+Short-sequence fast path (T <= one block, i.e. every 20 s / 1000-frame
+training and bench shape): with a single k-block the online-softmax
+recurrence and its scratch are dead weight. `_single_block_kernel` packs
+ALL H heads into one grid step per batch row (fori_loop, so Mosaic
+reuses one set of score buffers) and computes the softmax directly — no
+m/l/acc scratch. Measured v5e (B=64, H=4, T=1000, bf16): 3.00 vs 3.15
+ms/pass for the general kernel — the pass is VPU-bound on the (T, T)
+softmax elementwise chain, so the step-count reduction is a small win;
+the structural simplification (no scratch, lower VMEM) is the point.
+
 ALiBi: bias(i, j) = slope_h * (j - i) for j <= i. The reference's
 `m_h * j` form (vap/modules.py:169-187) differs by a per-row constant that
 softmax cancels, so probabilities are identical while our form keeps
@@ -107,12 +117,88 @@ def _flash_kernel(
         o_ref[0] = (acc_scr[:] / l_scr[:]).astype(o_ref.dtype)
 
 
+def _single_block_kernel(
+    slope_ref,  # (H,) SMEM scalar-prefetch — per-head ALiBi slopes
+    q_ref,      # (1, H, Tp, dh) VMEM
+    k_ref,      # (1, H, Tp, dh) VMEM
+    v_ref,      # (1, H, Tp, dh) VMEM
+    o_ref,      # (1, H, Tp, dh) VMEM
+    *,
+    scale: float,
+    tp: int,
+    n_heads: int,
+):
+    # broadcast-form bias/mask: (Tp, 1) row iota vs (1, Tp) lane iota —
+    # never materializes (Tp, Tp) int32 index planes on the kernel stack
+    gqi = jax.lax.broadcasted_iota(jnp.int32, (tp, 1), 0)
+    gki = jax.lax.broadcasted_iota(jnp.int32, (1, tp), 1)
+    causal = gki <= gqi
+    gq = gqi.astype(jnp.float32)
+    gk = gki.astype(jnp.float32)
+
+    def head_step(h, carry):
+        q = q_ref[0, h]  # (Tp, dh)
+        k = k_ref[0, h]
+        v = v_ref[0, h]
+        s = jax.lax.dot_general(
+            q, k,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale  # (Tp, Tp)
+        slope = slope_ref[h]
+        s = (s + slope * gk) - slope * gq
+        s = jnp.where(causal, s, NEG_INF)
+        m = jnp.max(s, axis=1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=1, keepdims=True)
+        pv = jax.lax.dot_general(
+            p.astype(v.dtype), v,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        o_ref[0, h] = (pv / l).astype(o_ref.dtype)
+        return carry
+
+    jax.lax.fori_loop(0, n_heads, head_step, 0)
+
+
+def _single_block_forward(q, k, v, slopes, scale):
+    """All-heads-per-step path for T <= one block (no softmax scratch)."""
+    B, H, T, Dh = q.shape
+    tp = -(-T // 128) * 128
+    pad = tp - T
+    if pad:
+        zp = [(0, 0), (0, 0), (0, pad), (0, 0)]
+        q, k, v = (jnp.pad(x, zp) for x in (q, k, v))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, H, tp, Dh), lambda b, *_: (b, 0, 0, 0)),
+            pl.BlockSpec((1, H, tp, Dh), lambda b, *_: (b, 0, 0, 0)),
+            pl.BlockSpec((1, H, tp, Dh), lambda b, *_: (b, 0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, H, tp, Dh), lambda b, *_: (b, 0, 0, 0)),
+    )
+    out = pl.pallas_call(
+        functools.partial(_single_block_kernel, scale=scale, tp=tp, n_heads=H),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, H, tp, Dh), q.dtype),
+        interpret=jax.default_backend() == "cpu",
+    )(slopes.astype(jnp.float32), q, k, v)
+    return out[:, :, :T] if pad else out
+
+
 def _flash_forward(
     q: jax.Array, k: jax.Array, v: jax.Array, slopes: jax.Array, scale: float,
     block_q: int = DEFAULT_BLOCK_Q, block_k: int = DEFAULT_BLOCK_K,
 ) -> jax.Array:
     B, H, T, Dh = q.shape
     assert k.shape == v.shape == (B, H, T, Dh)
+
+    if T <= min(block_q, block_k) and 1 < H <= 8:
+        return _single_block_forward(q, k, v, slopes, scale)
 
     # clamp blocks for short sequences (powers of two keep them divisible)
     t128 = -(-T // 128) * 128
