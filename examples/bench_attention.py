@@ -1,0 +1,75 @@
+"""On-chip A/B bench of the flash-ALiBi single-block kernel variants.
+
+Compares v1 (all-heads, full (Tp,Tp) plane) vs tri (triangle-chunked,
+exp2-domain) per attention pass at the model shape, and checks both
+against the dense XLA path numerically ON the chip (interpret mode can
+mask Mosaic layout bugs — see memory: verify kernels on hardware).
+
+Usage: python examples/bench_attention.py [B] [T]
+"""
+
+import os
+import sys
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from voiceactivityprojection_tpu.utils.runtime import setup_runtime
+
+setup_runtime()
+
+from voiceactivityprojection_tpu.ops.attention import alibi_slopes
+from voiceactivityprojection_tpu.ops import flash_alibi as fa
+
+
+def timeit(name, jfn, *args, iters=20):
+    acc = jnp.zeros(())
+    for _ in range(10):
+        acc = acc + jfn(*args).astype(jnp.float32).sum()
+    float(acc)
+    t0 = time.time()
+    acc = jnp.zeros(())
+    for _ in range(iters):
+        acc = acc + jfn(*args).astype(jnp.float32).sum()
+    float(acc)
+    ms = (time.time() - t0) / iters * 1e3
+    print(f"{name:32s} {ms:8.3f} ms/pass")
+    return ms
+
+
+def main():
+    B = int(sys.argv[1]) if len(sys.argv) > 1 else 64
+    T = int(sys.argv[2]) if len(sys.argv) > 2 else 1000
+    H, Dh = 4, 64
+    scale = 1.0 / np.sqrt(H * Dh)
+    rng = np.random.default_rng(0)
+    mk = lambda: jnp.asarray(rng.normal(size=(B, H, T, Dh)), jnp.bfloat16)
+    q, k, v = mk(), mk(), mk()
+    slopes = alibi_slopes(H)
+
+    dense = jax.jit(lambda q, k, v: fa._dense_reference(
+        q.astype(jnp.float32), k.astype(jnp.float32), v.astype(jnp.float32),
+        slopes, scale))
+    want = np.asarray(dense(q, k, v), np.float32)
+
+    def run(impl, cs=256):
+        os.environ["VAP_FLASH_SINGLE_IMPL"] = impl
+        os.environ["VAP_FLASH_CS"] = str(cs)
+        f = jax.jit(lambda q, k, v: fa._single_block_forward(q, k, v, slopes, scale))
+        got = np.asarray(f(q, k, v), np.float32)
+        err = np.abs(got - want).max()
+        timeit(f"single-block {impl} cs={cs} (err {err:.1e})", f, q, k, v)
+        assert err < 5e-2, f"{impl} cs={cs} diverges on chip: {err}"
+
+    run("v1")
+    for cs in (128, 256, 512):
+        run("tri", cs)
+    timeit("dense f32 XLA", dense, q, k, v)
+
+
+if __name__ == "__main__":
+    main()

@@ -49,6 +49,28 @@ def test_flash_gradients_match_dense():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
 
 
+@pytest.mark.parametrize("impl", ["v1", "tri"])
+@pytest.mark.parametrize("T,cs", [(128, 128), (200, 256), (300, 128)])
+def test_single_block_impls_match_dense(monkeypatch, impl, T, cs):
+    """Both single-block kernels (full-plane v1 and triangle-chunked tri)
+    must agree with dense, including T not a multiple of the chunk size."""
+    from voiceactivityprojection_tpu.ops.flash_alibi import _single_block_forward
+
+    monkeypatch.setenv("VAP_FLASH_SINGLE_IMPL", impl)
+    monkeypatch.setenv("VAP_FLASH_CS", str(cs))
+    B, H, Dh = 1, 4, 16
+    ks = jax.random.split(jax.random.key(3), 3)
+    q = jax.random.normal(ks[0], (B, H, T, Dh))
+    k = jax.random.normal(ks[1], (B, H, T, Dh))
+    v = jax.random.normal(ks[2], (B, H, T, Dh))
+    slopes = alibi_slopes(H)
+    scale = 0.125
+
+    want = np.asarray(_dense_reference(q, k, v, slopes, scale))
+    got = np.asarray(_single_block_forward(q, k, v, slopes, scale))
+    np.testing.assert_allclose(got, want, atol=3e-5)
+
+
 @pytest.mark.parametrize(
     "T,bq,bk",
     [

@@ -34,6 +34,7 @@ sequences are 1000 frames where O(T^2) is cheap; long-sequence use
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -47,6 +48,7 @@ from jax.experimental.pallas import tpu as pltpu
 DEFAULT_BLOCK_Q = 1024
 DEFAULT_BLOCK_K = 1024
 NEG_INF = -1e30
+LOG2E = 1.4426950408889634
 
 
 def _flash_kernel(
@@ -162,10 +164,78 @@ def _single_block_kernel(
     jax.lax.fori_loop(0, n_heads, head_step, 0)
 
 
+def _single_block_kernel_tri(
+    slope_ref,  # (H,) SMEM scalar-prefetch — per-head ALiBi slopes
+    q_ref,      # (1, H, Tp, dh) VMEM
+    k_ref,      # (1, H, Tp, dh) VMEM
+    v_ref,      # (1, H, Tp, dh) VMEM
+    o_ref,      # (1, H, Tp, dh) VMEM
+    *,
+    scale: float,
+    tp: int,
+    n_heads: int,
+    cs: int,
+):
+    """Triangle-chunked variant: query rows are processed in `cs`-row chunks
+    and each chunk's scores only span keys [0, chunk_end) — the strictly
+    masked upper-triangle tiles (~40% of the (Tp, Tp) plane at cs=256) are
+    never computed. Two more plane ops drop out analytically:
+
+    Measured v5e (B=64, H=4, T=1000, bf16, examples/bench_attention.py):
+    tri LOSES to v1 — 4.04/3.67/3.32 ms/pass at cs=128/256/512 vs 3.31 for
+    v1 (dense f32 XLA: 6.4). The pass is VPU-bound on the softmax
+    elementwise chain, so halving the MXU tiles doesn't pay while the
+    per-chunk loop overhead does. Kept selectable (VAP_FLASH_SINGLE_IMPL=
+    tri, VAP_FLASH_CS) as the shape-dependent verdict may flip at larger
+    T; v1 is the default.
+
+    * ALiBi's per-row term: softmax is shift-invariant per query row, so
+      slope*(gk - gq) == slope*gk up to a row constant — the gq subtraction
+      is skipped (the row max subtraction keeps exp in range either way).
+    * exp2 domain: scores are built as log2-weights directly by folding
+      scale*log2(e) into q and log2(e) into the slopes, so the softmax uses
+      exp2 without the hidden *log2e multiply inside exp.
+
+    Chunks are unrolled in Python (static shapes per chunk); padded key
+    columns (T < Tp) always land in a chunk's diagonal region where the
+    causal select zeroes them (Tp - cs < T by construction).
+    """
+    f32 = jnp.float32
+
+    def head_step(h, carry):
+        qs = (q_ref[0, h].astype(f32) * (scale * LOG2E)).astype(q_ref.dtype)
+        slope = slope_ref[h] * LOG2E
+        for ci in range(tp // cs):
+            kend = (ci + 1) * cs
+            s = jax.lax.dot_general(
+                qs[ci * cs : kend], k_ref[0, h, :kend],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=f32,
+            )  # (cs, kend) log2-domain scores
+            gi = ci * cs + jax.lax.broadcasted_iota(jnp.int32, (cs, 1), 0)
+            gj = jax.lax.broadcasted_iota(jnp.int32, (1, kend), 1)
+            s = jnp.where(gj <= gi, s + slope * gj.astype(f32), NEG_INF)
+            m = jnp.max(s, axis=1, keepdims=True)
+            p = jnp.exp2(s - m)
+            l = jnp.sum(p, axis=1, keepdims=True)
+            pv = jax.lax.dot_general(
+                p.astype(v_ref.dtype), v_ref[0, h, :kend],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=f32,
+            )
+            o_ref[0, h, ci * cs : kend] = (pv / l).astype(o_ref.dtype)
+        return carry
+
+    jax.lax.fori_loop(0, n_heads, head_step, 0)
+
+
 def _single_block_forward(q, k, v, slopes, scale):
     """All-heads-per-step path for T <= one block (no softmax scratch)."""
     B, H, T, Dh = q.shape
-    tp = -(-T // 128) * 128
+    impl = os.environ.get("VAP_FLASH_SINGLE_IMPL", "v1")
+    cs = int(os.environ.get("VAP_FLASH_CS", "256"))
+    mult = cs if impl == "tri" else 128
+    tp = -(-T // mult) * mult
     pad = tp - T
     if pad:
         zp = [(0, 0), (0, 0), (0, pad), (0, 0)]
@@ -181,8 +251,16 @@ def _single_block_forward(q, k, v, slopes, scale):
         ],
         out_specs=pl.BlockSpec((1, H, tp, Dh), lambda b, *_: (b, 0, 0, 0)),
     )
+    if impl == "tri":
+        kernel = functools.partial(
+            _single_block_kernel_tri, scale=scale, tp=tp, n_heads=H, cs=cs
+        )
+    else:
+        kernel = functools.partial(
+            _single_block_kernel, scale=scale, tp=tp, n_heads=H
+        )
     out = pl.pallas_call(
-        functools.partial(_single_block_kernel, scale=scale, tp=tp, n_heads=H),
+        kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, H, tp, Dh), q.dtype),
         interpret=jax.default_backend() == "cpu",
