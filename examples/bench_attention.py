@@ -66,7 +66,8 @@ def main():
         assert err < 5e-2, f"{impl} cs={cs} diverges on chip: {err}"
 
     run("v1")
-    for cs in (128, 256, 512):
+    run("v2")
+    for cs in (256, 512):
         run("tri", cs)
     timeit("dense f32 XLA", dense, q, k, v)
 

@@ -164,6 +164,62 @@ def _single_block_kernel(
     jax.lax.fori_loop(0, n_heads, head_step, 0)
 
 
+def _single_block_kernel_v2(
+    slope_ref,  # (H,) SMEM scalar-prefetch — per-head ALiBi slopes
+    q_ref,      # (1, H, Tp, dh) VMEM
+    k_ref,      # (1, H, Tp, dh) VMEM
+    v_ref,      # (1, H, Tp, dh) VMEM
+    o_ref,      # (1, H, Tp, dh) VMEM
+    *,
+    scale: float,
+    tp: int,
+    n_heads: int,
+):
+    """Full-plane kernel with tri's analytic savings but no chunking: the
+    (Tp, Tp) softmax chain is trimmed from ~6 plane ops (scale, +slope*gk,
+    -slope*gq, causal where, -m, exp) to 4 (fused where(causal, s+bias),
+    -m, exp2):
+
+    * scale is folded into q before the MXU dot ((Tp, dh) work, not plane);
+    * ALiBi's -slope*gq is a per-row constant that softmax cancels;
+    * scores are built in log2 domain (scale*log2e into q, log2e into the
+      slope) so the softmax uses raw exp2 instead of exp's hidden multiply.
+
+    Measured v5e (B=64, H=4, T=1000, bf16): 3.44 ms/pass vs v1's
+    2.84-3.4 and tri/512's 2.85-3.3 — all three within tunnel noise; the
+    pass is VPU-bound on the (Tp, Tp) elementwise chain either way, so
+    trimming two plane ops doesn't separate from v1. Kept selectable
+    (VAP_FLASH_SINGLE_IMPL=v2); v1 stays the default.
+    """
+    f32 = jnp.float32
+    gqi = jax.lax.broadcasted_iota(jnp.int32, (tp, 1), 0)
+    gki = jax.lax.broadcasted_iota(jnp.int32, (1, tp), 1)
+    causal = gki <= gqi
+    gk = gki.astype(f32)
+
+    def head_step(h, carry):
+        qs = (q_ref[0, h].astype(f32) * (scale * LOG2E)).astype(q_ref.dtype)
+        s = jax.lax.dot_general(
+            qs, k_ref[0, h],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=f32,
+        )  # (Tp, Tp) log2-domain scores
+        bias = (slope_ref[h] * LOG2E) * gk
+        s = jnp.where(causal, s + bias, NEG_INF)
+        m = jnp.max(s, axis=1, keepdims=True)
+        p = jnp.exp2(s - m)
+        l = jnp.sum(p, axis=1, keepdims=True)
+        pv = jax.lax.dot_general(
+            p.astype(v_ref.dtype), v_ref[0, h],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=f32,
+        )
+        o_ref[0, h] = (pv / l).astype(o_ref.dtype)
+        return carry
+
+    jax.lax.fori_loop(0, n_heads, head_step, 0)
+
+
 def _single_block_kernel_tri(
     slope_ref,  # (H,) SMEM scalar-prefetch — per-head ALiBi slopes
     q_ref,      # (1, H, Tp, dh) VMEM
@@ -181,13 +237,15 @@ def _single_block_kernel_tri(
     masked upper-triangle tiles (~40% of the (Tp, Tp) plane at cs=256) are
     never computed. Two more plane ops drop out analytically:
 
-    Measured v5e (B=64, H=4, T=1000, bf16, examples/bench_attention.py):
-    tri LOSES to v1 — 4.04/3.67/3.32 ms/pass at cs=128/256/512 vs 3.31 for
-    v1 (dense f32 XLA: 6.4). The pass is VPU-bound on the softmax
-    elementwise chain, so halving the MXU tiles doesn't pay while the
-    per-chunk loop overhead does. Kept selectable (VAP_FLASH_SINGLE_IMPL=
-    tri, VAP_FLASH_CS) as the shape-dependent verdict may flip at larger
-    T; v1 is the default.
+    Measured v5e (B=64, H=4, T=1000, bf16, examples/bench_attention.py +
+    a 6x25-iter alternating A/B): cs=128/256 LOSE to v1 (4.04/3.67 vs
+    ~3.3 ms/pass); cs=512 TIES v1 (median 2.88 vs 2.91 across rounds —
+    within tunnel noise; dense f32 XLA: 6.4). The pass is VPU-bound on
+    the softmax elementwise chain, so halving the MXU tiles doesn't pay
+    while the per-chunk loop overhead does. Kept selectable
+    (VAP_FLASH_SINGLE_IMPL=tri, VAP_FLASH_CS) as the shape-dependent
+    verdict may flip at larger T; v1 is the default (less padding waste
+    below cs rows).
 
     * ALiBi's per-row term: softmax is shift-invariant per query row, so
       slope*(gk - gq) == slope*gk up to a row constant — the gq subtraction
@@ -254,6 +312,10 @@ def _single_block_forward(q, k, v, slopes, scale):
     if impl == "tri":
         kernel = functools.partial(
             _single_block_kernel_tri, scale=scale, tp=tp, n_heads=H, cs=cs
+        )
+    elif impl == "v2":
+        kernel = functools.partial(
+            _single_block_kernel_v2, scale=scale, tp=tp, n_heads=H
         )
     else:
         kernel = functools.partial(
