@@ -248,3 +248,24 @@ def test_dropout_only_with_rng():
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=0)
     c = apply_gpt(params, x, num_heads=4, dropout=0.5, rng=jax.random.key(3))["x"]
     assert not np.allclose(np.asarray(a), np.asarray(c))
+
+
+def test_stereo_batched_matches_twin_pass():
+    """apply_gpt_stereo_batched == apply_gpt_stereo on the split halves
+    (same weights; cross K/V half-swap reproduces the twin pass exactly)."""
+    from voiceactivityprojection_tpu.models.transformer import (
+        apply_gpt_stereo_batched,
+    )
+
+    key = jax.random.key(11)
+    B, T, D, H = 3, 17, 32, 4
+    params = init_gpt_stereo(key, D, num_layers=3, num_heads=H)
+    x1 = jax.random.normal(jax.random.key(1), (B, T, D))
+    x2 = jax.random.normal(jax.random.key(2), (B, T, D))
+
+    ref = apply_gpt_stereo(params, x1, x2, num_heads=H)
+    got = apply_gpt_stereo_batched(
+        params, jnp.concatenate([x1, x2], axis=0), num_heads=H
+    )
+    for k in ("x", "x1", "x2"):
+        np.testing.assert_allclose(got[k], ref[k], rtol=1e-5, atol=1e-5)

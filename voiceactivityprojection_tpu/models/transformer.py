@@ -180,6 +180,64 @@ def apply_gpt(
     return ret
 
 
+def apply_gpt_stereo_batched(
+    params: Params,
+    x12: jax.Array,
+    *,
+    num_heads: int,
+    dropout: float = 0.0,
+    rng: Optional[jax.Array] = None,
+    attn_impl: str = "auto",
+) -> Dict[str, jax.Array]:
+    """Shared-weight stereo stack on channel-stacked input (2B, T, C).
+
+    Mathematically identical to ``apply_gpt_stereo`` on the split halves:
+    the twin pass (modules.py:278-289) runs the same weights on (x1,
+    src=x2) and (x2, src=x1), where src is the other channel's PRE-layer
+    value — stacking [x1; x2] along batch makes both passes one dispatch,
+    with cross-attention K/V realized as a half-swap of the stacked batch.
+    Halves kernel launches and doubles matmul M-dims vs the twin pass.
+    Only the dropout RNG pattern differs (still i.i.d. Bernoulli per
+    site). No attention-weight outputs — analysis uses the twin pass.
+
+    MEASURED (v5e, T=1000 bf16): NOT wired as the default — slower than
+    the twin pass at B=64 (stereo stack 42.2 vs 33.8 ms; full forward
+    84.5 vs 75.6) and tied at B=1/8: the two independent twin chains give
+    XLA cross-chain ILP that hides HBM latency better than one wider
+    chain. Kept for completeness/experiments.
+    """
+    B2 = x12.shape[0]
+    assert B2 % 2 == 0, f"stacked stereo batch must be even, got {B2}"
+    B = B2 // 2
+    swap = lambda t: jnp.concatenate([t[B:], t[:B]], axis=0)
+    n = len(params["layers"])
+    keys = jax.random.split(rng, n) if rng is not None else [None] * n
+    for layer, k in zip(params["layers"], keys):
+        ks = jax.random.split(k, 8) if k is not None else [None] * 8
+        orig = x12
+        z = layer_norm(x12, layer["ln_self_attn"]["w"], layer["ln_self_attn"]["b"])
+        sa, _ = attention(
+            layer["mha"], z, z, num_heads,
+            impl=attn_impl, dropout_rate=dropout, dropout_key=ks[0],
+        )
+        sa = _dropout(sa, dropout, ks[1])
+        x12 = x12 + _dropout(sa, dropout, ks[2])
+        # cross-attention: Q from the post-self-attn state, K/V from the
+        # OTHER channel's pre-layer value, deliberately un-normalized
+        # (modules.py:266-272)
+        z = layer_norm(x12, layer["ln_src_attn"]["w"], layer["ln_src_attn"]["b"])
+        ca, _ = attention(
+            layer["mha_cross"], z, swap(orig), num_heads,
+            impl=attn_impl, dropout_rate=dropout, dropout_key=ks[3],
+        )
+        ca = _dropout(ca, dropout, ks[4])
+        x12 = x12 + _dropout(ca, dropout, ks[5])
+        z = layer_norm(x12, layer["ln_ffnetwork"]["w"], layer["ln_ffnetwork"]["b"])
+        x12 = x12 + _dropout(_ffn(layer["ffn"], z, dropout, ks[6]), dropout, ks[7])
+    x = apply_combinator(params["combinator"], x12[:B], x12[B:])
+    return {"x": x, "x1": x12[:B], "x2": x12[B:]}
+
+
 def init_gpt_stereo(
     key: jax.Array,
     dim: int,

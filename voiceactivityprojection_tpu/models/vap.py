@@ -147,6 +147,11 @@ def forward(
         # updates, and this additionally skips the encoder backward pass
         x1 = jax.lax.stop_gradient(x1)
         x2 = jax.lax.stop_gradient(x2)
+    # NOTE: the channel-stacked variant (apply_gpt_stereo_batched — one
+    # 2B-sized dispatch per layer instead of two B-sized twin passes) was
+    # measured SLOWER or tied on v5e at every batch (B=64: 42.2 vs 33.8 ms
+    # stereo stack; B=1/8: tie) — the independent twin chains give XLA's
+    # scheduler cross-chain ILP to hide HBM latency. Twin pass stays.
     o1 = apply_gpt(
         params["ar_channel"], x1, num_heads=conf.num_heads,
         dropout=drop, rng=r[0], attn_impl=conf.attn_impl, attention_out=attention,
