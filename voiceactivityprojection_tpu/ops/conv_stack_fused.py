@@ -90,7 +90,8 @@ def _out_len(n: int, k: int, s: int, p: int) -> int:
 
 def _kernel(
     ns_ref,     # (5,) SMEM: n0p (conv0 outs + 2*P1), n1, n2, n3, n4
-    win_hbm,    # (R, W, NPAR*128) ANY: parity-split packed input windows
+    raw_hbm,    # (R, W, 256) ANY: overlapping raw-sample rows (stride 160)
+    gsel_ref,   # (256, NPAR*128) one-hot window expand (row S only)
     w0c_ref,    # (128, 1024) conv0 block-diag CENTERED weights (conv gives z-mean)
     b0c_ref,    # (1, 1024) centered bias
     w0quad_ref, # (128, 128) block-diag M = u u^T (centered weight gram)
@@ -107,7 +108,7 @@ def _kernel(
     w4_ref,     # (1024, 256)
     b4_ref, g4_ref, be4_ref,
     o_ref,      # (1, T4OUT, 256)
-    win_vmem,   # (2, MS, NPAR*128) double-buffered DMA scratch
+    raw_vmem,   # (2, MS, 256) double-buffered DMA scratch (raw rows)
     sem,        # (2,)
 ):
     r = pl.program_id(0)
@@ -119,8 +120,8 @@ def _kernel(
 
     def dma_for(row, tile, s):
         return pltpu.make_async_copy(
-            win_hbm.at[row, pl.ds(tile * (T1OUT // NPAR), MS), :],
-            win_vmem.at[s], sem.at[s],
+            raw_hbm.at[row, pl.ds(tile * (T1OUT // NPAR), MS), :],
+            raw_vmem.at[s], sem.at[s],
         )
 
     @pl.when(step == 0)
@@ -143,6 +144,13 @@ def _kernel(
         a, b, dimension_numbers=dn, preferred_element_type=f32
     )
     n0p, n1, n2, n3, n4 = (ns_ref[j] for j in range(5))
+
+    # in-kernel window expand (exact, each output lane selects one raw
+    # sample): all 128 taps per parity block of window row S live inside
+    # the overlapping 256-sample raw row S — ONE one-hot MXU matmul
+    # replaces both the former host-side XLA gather (measured 15.3 ms at
+    # the bench shape) and the 4x-larger window-array DMA
+    win = dot(raw_vmem[slot], gsel_ref[:]).astype(raw_vmem.dtype)
     rows = jax.lax.broadcasted_iota(jnp.int32, (MS, PACK * C), 0)
     blocks = jax.lax.broadcasted_iota(jnp.int32, (MS, PACK * C), 1) // C
     rows256 = jax.lax.broadcasted_iota(jnp.int32, (MS, C), 0)
@@ -160,7 +168,7 @@ def _kernel(
     # bf16: 44.0 -> 37.9 ms (identical on-chip checksum).
     z0 = []
     for p in range(NPAR):
-        win_p = win_vmem[slot][:, p * 128 : (p + 1) * 128]
+        win_p = win[:, p * 128 : (p + 1) * 128]
         wf = win_p.astype(f32)
         d = dot(win_p, w0c_ref[:]) + b0c_ref[:]        # (MS, 1024) = z - mean
         q = dot(wf, w0quad_ref[:])                     # (MS, 128)
@@ -296,30 +304,53 @@ def _prep_stack_weights(enc: Params, dtype):
     return tuple(out)
 
 
-def _input_windows_split(x: jax.Array, n_tiles: int) -> jax.Array:
-    """(R, n) -> (R, W, NPAR*128): row S, lane-block p holds the KW conv0
-    taps (x4 packed outputs) for packed z0 row g = 8S + p - LEFT, in
-    conv1-pad coordinates (left pad = S0*P1 + P0)."""
+ROWLEN = 256  # samples per (overlapping) input row: 2 lane-tiles, aligned
+
+
+def _selection_matrix(dtype):
+    """One-hot lane-selection matrix for the in-kernel window expand.
+
+    Input rows overlap: row S holds samples [160*S, 160*S + 256) (stride
+    160 = one window row's worth, 256-lane rows for DMA tiling). Window
+    row S, lane l = (p, b, tap) is sample 160*S + o(p, b, tap) with
+    o = PACK*S0*(p - LEFT) + S0*b + tap + 160 in [0, 187) — entirely
+    inside row S, so the expand is ONE matmul with a constant 0/1 matrix
+    instead of an element gather (the XLA gather measured 15.3 ms at the
+    bench shape; the in-kernel matmul is ~1 ms of MXU work)."""
+    import numpy as np
+
+    assert LEFT == NPAR, "left-halo masking assumes LEFT == NPAR"
+    stride = NPAR * PACK * S0  # 160
+    p, b, tap = np.meshgrid(
+        np.arange(NPAR), np.arange(PACK), np.arange(KW), indexing="ij"
+    )
+    o = (PACK * S0 * (p - LEFT) + S0 * b + tap + stride).reshape(-1)
+    assert o.min() >= 0 and o.max() < ROWLEN
+    g = np.zeros((ROWLEN, NPAR * PACK * KW), np.float32)
+    g[o, np.arange(NPAR * PACK * KW)] = 1.0
+    return jnp.asarray(g, dtype)
+
+
+def _input_rows(x: jax.Array, n_tiles: int) -> jax.Array:
+    """(R, n) -> (R, W, 256): overlapping raw-sample rows, row S holding
+    samples [160*S, 160*S + 256) — every tap of window row S lives in row
+    S (see _selection_matrix); the expand itself happens in-kernel on the
+    MXU. The leading 160-sample shift makes every o(p, b, tap) offset
+    non-negative; window row 0 (entirely left-halo, g < 0) and tap >= K0
+    lanes are neutralized downstream by the kernel's t0p validity mask
+    and the zero-padded tap weights respectively."""
     R, n = x.shape
     left = S0 * P1 + P0
+    stride = NPAR * PACK * S0  # 160 samples per window row
     Wrows = (n_tiles - 1) * (T1OUT // NPAR) + MS
-    g_max = 8 * (Wrows - 1) + (NPAR - 1) - LEFT
-    need = S0 * (PACK * (g_max + 1) - 1) + K0
-    xp = jnp.zeros((R, left + max(need, n)), dtype=x.dtype)
-    xp = xp.at[:, left : left + n].set(x)
-    S = jnp.arange(Wrows)
-    p = jnp.arange(NPAR)
-    b = jnp.arange(PACK)
-    tap = jnp.arange(KW)
-    g = 8 * S[:, None] + p[None, :] - LEFT                    # (W, NPAR)
-    start = (PACK * g[:, :, None] + b[None, None, :]) * S0    # (W, NPAR, PACK)
-    idx = start[..., None] + tap[None, None, None, :]         # (W, NPAR, PACK, KW)
-    idx = jnp.clip(idx, 0, xp.shape[1] - 1)
-    valid = (g >= 0)[:, :, None, None]
-    vals = xp[:, idx.reshape(Wrows, NPAR * PACK * KW)]
-    vals = vals.reshape(R, Wrows, NPAR, PACK, KW)
-    vals = jnp.where(valid[None], vals, 0)
-    return vals.reshape(R, Wrows, NPAR * PACK * KW)
+    L = stride * (Wrows + 1)
+    xq = jnp.zeros((R, max(L, stride + left + n)), dtype=x.dtype)
+    xq = xq.at[:, stride + left : stride + left + n].set(x)
+    xr = xq[:, :L].reshape(R, Wrows + 1, stride)
+    # overlap: append the next row's first (ROWLEN - stride) samples
+    return jnp.concatenate(
+        [xr[:, :Wrows], xr[:, 1 : Wrows + 1, : ROWLEN - stride]], axis=-1
+    )
 
 
 def _forward_stack(enc: Params, x: jax.Array) -> jax.Array:
@@ -332,12 +363,14 @@ def _forward_stack(enc: Params, x: jax.Array) -> jax.Array:
     n4 = _out_len(n3, KU, SU, PU)
     n_tiles = _cdiv(n4, T4OUT)
 
-    windows = _input_windows_split(x, n_tiles)
+    rows = _input_rows(x, n_tiles)
+    sel = _selection_matrix(dtype)
     weights = _prep_stack_weights(enc, dtype)
     ns = jnp.asarray([n0 + 2 * P1, n1, n2, n3, n4], dtype=jnp.int32)
 
     lane_specs = []
     for shape in [
+        (ROWLEN, NPAR * 128),
         (PACK * KW, PACK * C), (1, PACK * C),
         (PACK * KW, 128), (1, 128), (1, 4 * 128), (PACK * KW, 4 * 128),
         (1, PACK * C), (1, PACK * C),
@@ -354,7 +387,7 @@ def _forward_stack(enc: Params, x: jax.Array) -> jax.Array:
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)] + lane_specs,
         out_specs=pl.BlockSpec((1, T4OUT, C), lambda r, i, *_: (r, i, 0)),
         scratch_shapes=[
-            pltpu.VMEM((2, MS, NPAR * PACK * KW), dtype),
+            pltpu.VMEM((2, MS, ROWLEN), dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
@@ -363,7 +396,7 @@ def _forward_stack(enc: Params, x: jax.Array) -> jax.Array:
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((R, n_tiles * T4OUT, C), dtype),
         interpret=jax.default_backend() == "cpu",
-    )(ns, windows, *weights)
+    )(ns, rows, sel, *weights)
     return out[:, :n4]
 
 
