@@ -136,11 +136,15 @@ def forward(
     r = jax.random.split(rng, 3) if rng is not None else (None, None, None)
 
     params, waveform = _compute_cast(params, waveform, conf)
-    # fused conv stack for INFERENCE only (rng None): measured on v5e it
-    # wins the pure forward (84.3 vs 88.8 ms, B=64x20s) but loses inside
-    # the train step (67.8 vs 64.4 ms, B=16) where XLA overlaps the
-    # unfused convs with the attention backward
-    x1, x2 = encode_audio(params, waveform, fused_auto=rng is None)
+    # fused conv stack auto-fires for inference (rng None) and for frozen-
+    # encoder training (stop_gradient below means the kernel's VJP
+    # fallback never runs). Measured on v5e: pure forward 71.0 vs 75.6 ms
+    # (B=64x20s) and train step 62.0 vs 64.5 ms (B=16) since the window
+    # expand moved in-kernel; with an UNFROZEN encoder the custom VJP
+    # would recompute the XLA forward, so that case keeps XLA convs.
+    x1, x2 = encode_audio(
+        params, waveform, fused_auto=rng is None or bool(conf.freeze_encoder)
+    )
     if conf.freeze_encoder:
         # frozen CPC encoder (vap/encoder.py:39-42): stop gradients at the
         # feature boundary — the optimizer mask already zeroes encoder
@@ -196,7 +200,9 @@ def forward_mono(
         assert waveform.shape[1] == 1, f"expected (B, 1, n), got {waveform.shape}"
         waveform = waveform[:, 0]
     x = apply_encoder(
-        params["encoder"], waveform, fused_auto=rng is None
+        params["encoder"],
+        waveform,
+        fused_auto=rng is None or bool(conf.freeze_encoder),
     )
     if conf.freeze_encoder:
         x = jax.lax.stop_gradient(x)

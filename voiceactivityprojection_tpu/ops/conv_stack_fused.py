@@ -5,8 +5,11 @@ Why: unfused, conv0's (R, n/5, 256) output (4.2 GB bf16 at the bench
 shape) must round-trip HBM for ChannelNorm, putting an HBM floor of
 ~27 ms on conv0 alone and ~51 ms on the 5-layer stack (measured v5e,
 128 rows x 320k samples). Keeping every intermediate in VMEM removes all
-of it: HBM traffic collapses to the packed input windows (~0.5 GB read)
-plus the final 100 Hz features (~0.26 GB write).
+of it: HBM traffic collapses to the overlapping raw-sample rows
+(~0.17 GB read; the tap windows are expanded IN-kernel by a one-hot MXU
+matmul, see _selection_matrix) plus the final 100 Hz features (~0.26 GB
+write). Measured v5e at the bench shape: 33.5 ms vs ~51 XLA (and vs
+38.0 for the earlier variant whose windows were gathered host-side).
 
 Reference semantics mirrored exactly (encoder_components.py:73-104): five
 Conv1d layers k=10,8,4,4,4 / s=5,4,2,2,2 / symmetric pad 3,2,1,1,1, each
