@@ -18,6 +18,7 @@ from os.path import basename
 
 import numpy as np
 import jax
+import jax.numpy as jnp
 
 # this image's site hook pins the TPU platform regardless of JAX_PLATFORMS;
 # VAP_PLATFORM=cpu forces CPU (used by tests/headless runs)
@@ -55,6 +56,12 @@ def get_args() -> argparse.Namespace:
     parser.add_argument("--chunk", action="store_true", help="force chunked extraction")
     parser.add_argument("--chunk_time", type=float, default=25.0)
     parser.add_argument("--step_time", type=float, default=5.0)
+    parser.add_argument(
+        "--context_parallel",
+        action="store_true",
+        help="shard the time axis over all devices for one EXACT single-shot "
+        "pass (no chunk-seam approximation) — long audio on a multi-chip mesh",
+    )
     parser.add_argument("--plot", action="store_true")
     parser, _ = VapConfig.add_argparse_args(parser), None
     return parser.parse_args()
@@ -98,7 +105,23 @@ def main() -> None:
         context_time=args.chunk_time - args.step_time,
         step_time=args.step_time,
     )
-    if args.chunk or duration > MAX_SINGLE_SHOT_TIME:
+    if args.context_parallel:
+        from voiceactivityprojection_tpu.parallel.context import (
+            pad_waveform_for_mesh,
+            probs_context_parallel,
+        )
+        from voiceactivityprojection_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(n_data=len(jax.devices()))
+        t50 = waveform.shape[-1] // 320
+        wav = pad_waveform_for_mesh(jnp.asarray(waveform), mesh.shape["data"])
+        out = probs_context_parallel(model.params, wav, model.conf, mesh)
+        out = {k: v[:, :t50] if v.ndim >= 2 else v for k, v in out.items()}
+        print(
+            f"Context-parallel single shot over {mesh.shape['data']} devices: "
+            f"{out['p_now'].shape[1]} frames"
+        )
+    elif args.chunk or duration > MAX_SINGLE_SHOT_TIME:
         out = extractor.step_extraction(waveform, vad=vad)
         print(f"Chunked extraction: {out['p_now'].shape[1]} frames")
     else:

@@ -49,7 +49,7 @@ def test_flash_gradients_match_dense():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
 
 
-@pytest.mark.parametrize("impl", ["v1", "v2", "tri"])
+@pytest.mark.parametrize("impl", ["v1", "v2", "v3", "tri"])
 @pytest.mark.parametrize("T,cs", [(128, 128), (200, 256), (300, 128)])
 def test_single_block_impls_match_dense(monkeypatch, impl, T, cs):
     """Both single-block kernels (full-plane v1 and triangle-chunked tri)

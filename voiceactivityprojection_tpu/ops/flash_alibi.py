@@ -220,6 +220,53 @@ def _single_block_kernel_v2(
     jax.lax.fori_loop(0, n_heads, head_step, 0)
 
 
+def _single_block_kernel_v3(
+    slope_ref,  # (H,) SMEM scalar-prefetch — per-head ALiBi slopes
+    q_ref,      # (1, H, Tp, dh) VMEM
+    k_ref,      # (1, H, Tp, dh) VMEM
+    v_ref,      # (1, H, Tp, dh) VMEM
+    o_ref,      # (1, H, Tp, dh) VMEM
+    *,
+    scale: float,
+    tp: int,
+    n_heads: int,
+):
+    """v2 (exp2-domain) plus: the softmax denominator comes out of the PV
+    matmul instead of a VPU plane reduction — V is extended in-kernel with
+    a ones block ([v | 1], dh -> 2*dh lanes), so sum_j p_ij rides the MXU's
+    already-padded N dimension (dh=64 pads to 128 anyway) and the separate
+    jnp.sum over the (Tp, Tp) plane disappears."""
+    f32 = jnp.float32
+    gqi = jax.lax.broadcasted_iota(jnp.int32, (tp, 1), 0)
+    gki = jax.lax.broadcasted_iota(jnp.int32, (1, tp), 1)
+    causal = gki <= gqi
+    gk = gki.astype(f32)
+
+    def head_step(h, carry):
+        qs = (q_ref[0, h].astype(f32) * (scale * LOG2E)).astype(q_ref.dtype)
+        s = jax.lax.dot_general(
+            qs, k_ref[0, h],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=f32,
+        )  # (Tp, Tp) log2-domain scores
+        bias = (slope_ref[h] * LOG2E) * gk
+        s = jnp.where(causal, s + bias, NEG_INF)
+        m = jnp.max(s, axis=1, keepdims=True)
+        p = jnp.exp2(s - m).astype(v_ref.dtype)
+        v = v_ref[0, h]
+        ve = jnp.concatenate([v, jnp.ones_like(v)], axis=-1)  # (Tp, 2*dh)
+        pv = jax.lax.dot_general(
+            p, ve,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=f32,
+        )  # (Tp, 2*dh): [:dh] = sum p v, [dh:] = sum p broadcast per lane
+        dh = v.shape[-1]
+        o_ref[0, h] = (pv[:, :dh] / pv[:, dh : dh + 1]).astype(o_ref.dtype)
+        return carry
+
+    jax.lax.fori_loop(0, n_heads, head_step, 0)
+
+
 def _single_block_kernel_tri(
     slope_ref,  # (H,) SMEM scalar-prefetch — per-head ALiBi slopes
     q_ref,      # (1, H, Tp, dh) VMEM
@@ -317,6 +364,10 @@ def _single_block_forward(q, k, v, slopes, scale):
         kernel = functools.partial(
             _single_block_kernel_v2, scale=scale, tp=tp, n_heads=H
         )
+    elif impl == "v3":
+        kernel = functools.partial(
+            _single_block_kernel_v3, scale=scale, tp=tp, n_heads=H
+        )
     else:
         kernel = functools.partial(
             _single_block_kernel, scale=scale, tp=tp, n_heads=H
@@ -385,6 +436,134 @@ def _flash_forward(
 
     out = out.reshape(B, H, Tp, Dh)
     return out[:, :, :T] if pad else out
+
+
+def _flash_offset_kernel(
+    slope_ref,   # (B*H,) SMEM scalar-prefetch — per-(b,h) ALiBi slopes
+    offset_ref,  # (1,) SMEM scalar-prefetch — global row index of q row 0
+    q_ref,       # (1, bq, dh) VMEM
+    k_ref,       # (1, bk, dh) VMEM
+    v_ref,       # (1, bk, dh) VMEM
+    o_ref,       # (1, bq, dh) VMEM
+    m_scr, l_scr, acc_scr,
+    *,
+    scale: float,
+    block_q: int,
+    block_k: int,
+):
+    """_flash_kernel generalized to queries that sit at a dynamic global
+    offset in a longer key timeline (context-parallel attention: this
+    device's T_loc query rows attend the all-gathered T keys causally).
+    Skip/finalize conditions compare global ROW ranges (block_q != block_k
+    safe; see the block-index bug note in the module docstring)."""
+    bh = pl.program_id(0)
+    iq = pl.program_id(1)
+    ik = pl.program_id(2)
+    off = offset_ref[0]
+
+    q_last = off + iq * block_q + (block_q - 1)  # global last query row
+    last_k = q_last // block_k
+
+    @pl.when(ik == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    @pl.when(ik * block_k <= q_last)
+    def _compute():
+        q = q_ref[0]
+        k = k_ref[0]
+        v = v_ref[0]
+        s = jax.lax.dot_general(
+            q, k,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        gq = (
+            off
+            + iq * block_q
+            + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
+        )
+        gk = ik * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, block_k), 1
+        )
+        s = s + slope_ref[bh] * (gk - gq).astype(s.dtype)
+        s = jnp.where(gk <= gq, s, NEG_INF)
+
+        m_prev = m_scr[:]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        corr = jnp.exp(m_prev - m_new)
+        l_scr[:] = corr * l_scr[:] + jnp.sum(p, axis=1, keepdims=True)
+        acc_scr[:] = corr * acc_scr[:] + jax.lax.dot_general(
+            p.astype(v.dtype), v,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        m_scr[:] = m_new
+
+    @pl.when(ik == last_k)
+    def _finalize():
+        o_ref[0] = (acc_scr[:] / l_scr[:]).astype(o_ref.dtype)
+
+
+def flash_alibi_attention_offset(
+    q: jax.Array, k: jax.Array, v: jax.Array, slopes: jax.Array,
+    scale: float, q_offset,
+    block_q: int = DEFAULT_BLOCK_Q, block_k: int = DEFAULT_BLOCK_K,
+) -> jax.Array:
+    """Flash attention for context parallelism: q is (B, H, Tq, Dh) local
+    query rows starting at global row `q_offset` (traced scalar) of a
+    (B, H, Tk, Dh) key/value timeline; causal + ALiBi in global indices.
+    Inference-only (no VJP). Zero-padded tail keys fall at global indices
+    >= Tk > every real query row, so causality masks them."""
+    B, H, Tq, Dh = q.shape
+    Tk = k.shape[2]
+    assert k.shape == v.shape == (B, H, Tk, Dh)
+    block_q = min(block_q, -(-Tq // 128) * 128)
+    block_k = min(block_k, -(-Tk // 128) * 128)
+    pq = (-Tq) % block_q
+    pk = (-Tk) % block_k
+    if pq:
+        q = jnp.pad(q, [(0, 0), (0, 0), (0, pq), (0, 0)])
+    if pk:
+        k = jnp.pad(k, [(0, 0), (0, 0), (0, pk), (0, 0)])
+        v = jnp.pad(v, [(0, 0), (0, 0), (0, pk), (0, 0)])
+    Tqp, Tkp = Tq + pq, Tk + pk
+
+    bh = B * H
+    qf = q.reshape(bh, Tqp, Dh)
+    kf = k.reshape(bh, Tkp, Dh)
+    vf = v.reshape(bh, Tkp, Dh)
+    slope_bh = jnp.broadcast_to(slopes[None, :], (B, H)).reshape(bh)
+    off = jnp.asarray(q_offset, jnp.int32).reshape(1)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(bh, Tqp // block_q, Tkp // block_k),
+        in_specs=[
+            pl.BlockSpec((1, block_q, Dh), lambda b, i, j, *_: (b, i, 0)),
+            pl.BlockSpec((1, block_k, Dh), lambda b, i, j, *_: (b, j, 0)),
+            pl.BlockSpec((1, block_k, Dh), lambda b, i, j, *_: (b, j, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, Dh), lambda b, i, j, *_: (b, i, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, Dh), jnp.float32),
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(
+            _flash_offset_kernel, scale=scale, block_q=block_q, block_k=block_k
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((bh, Tqp, Dh), q.dtype),
+        interpret=jax.default_backend() == "cpu",
+    )(slope_bh, off, qf, kf, vf)
+    out = out.reshape(B, H, Tqp, Dh)
+    return out[:, :, :Tq] if pq else out
 
 
 def _dense_reference(q, k, v, slopes, scale):
