@@ -95,3 +95,16 @@ def test_flash_offset_matches_dense_interpret():
         q_full[:, :, off : off + Tq], k, v, slopes, scale, jnp.int32(off)
     )
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5)
+
+
+def test_context_parallel_single_device(setup):
+    """Degenerate 1-device mesh: the d==0 slice branch covers the whole
+    signal and must still reproduce the plain forward."""
+    conf, params, _ = setup
+    mesh = make_mesh(n_data=1, n_model=1, devices=jax.devices()[:1])
+    n = 8 * 320
+    rng = np.random.default_rng(3)
+    wav = jnp.asarray(rng.normal(size=(1, 2, n)).astype(np.float32) * 0.1)
+    want = forward(params, wav, conf)
+    got = forward_context_parallel(params, wav, conf, mesh)
+    np.testing.assert_allclose(got["logits"], want["logits"], rtol=2e-4, atol=2e-4)

@@ -280,6 +280,11 @@ def forward_context_parallel(
     assert n_dev == 1 or 2 * (t50 // n_dev) >= MARGIN_FRAMES, (
         f"chunks too small: need >= {MARGIN_FRAMES} 100 Hz frames per device"
     )
+    if n_dev == 1:  # degenerate mesh: the plain forward IS the answer
+        from voiceactivityprojection_tpu.models.vap import forward
+
+        out = forward(params, wav_rows[None], conf)
+        return {"logits": out["logits"], "vad": out["vad"]}
 
     params_c, wav_c = _compute_cast(params, wav_rows, conf)
     margin = MARGIN_FRAMES * CPC_DOWNSAMPLE
