@@ -108,3 +108,18 @@ def test_context_parallel_single_device(setup):
     want = forward(params, wav, conf)
     got = forward_context_parallel(params, wav, conf, mesh)
     np.testing.assert_allclose(got["logits"], want["logits"], rtol=2e-4, atol=2e-4)
+
+
+def test_context_parallel_bfloat16(setup):
+    """Mixed-precision plumbing: bf16 compute must track the plain bf16
+    forward (bf16-quantization tolerance; catches dtype bugs in the halo
+    exchange / GRU relay / gathered K/V path)."""
+    _, params, mesh = setup
+    conf = VapConfig(dtype="bfloat16")
+    n = 16 * 320
+    rng = np.random.default_rng(4)
+    wav = jnp.asarray(rng.normal(size=(1, 2, n)).astype(np.float32) * 0.1)
+    want = forward(params, wav, conf)
+    got = forward_context_parallel(params, wav, conf, mesh)
+    np.testing.assert_allclose(got["logits"], want["logits"], rtol=0.1, atol=0.05)
+    np.testing.assert_allclose(got["vad"], want["vad"], rtol=0.1, atol=0.05)
