@@ -123,3 +123,27 @@ def test_context_parallel_bfloat16(setup):
     got = forward_context_parallel(params, wav, conf, mesh)
     np.testing.assert_allclose(got["logits"], want["logits"], rtol=0.1, atol=0.05)
     np.testing.assert_allclose(got["vad"], want["vad"], rtol=0.1, atol=0.05)
+
+
+def test_context_parallel_mono(setup):
+    """Mono (VAD-conditioned) context-parallel forward matches forward_mono."""
+    from voiceactivityprojection_tpu.config import VapMonoConfig
+    from voiceactivityprojection_tpu.models.vap import forward_mono, init_vap_mono
+    from voiceactivityprojection_tpu.parallel.context import (
+        forward_mono_context_parallel,
+    )
+
+    _, _, mesh = setup
+    conf = VapMonoConfig(va_history=0)
+    params = init_vap_mono(jax.random.key(5), conf)
+    t50 = 16
+    n = t50 * 320
+    rng = np.random.default_rng(6)
+    wav = jnp.asarray(rng.normal(size=(1, 1, n)).astype(np.float32) * 0.1)
+    va = jnp.asarray((rng.random((1, t50 + 10, 2)) < 0.4).astype(np.float32))
+
+    want = forward_mono(params, wav, va, conf)
+    got = forward_mono_context_parallel(params, wav, va, conf, mesh)
+    np.testing.assert_allclose(
+        got["logits"], want["logits"][:, :t50], rtol=2e-4, atol=2e-4
+    )

@@ -30,19 +30,23 @@ lane-concat + one MXU matmul per parity:
   z4[m]    = [z3_1 | z3_0^-1 | z3_1^-1 | z3_0^-2]        @ W4
   (negative parities wrap to the other array rolled by one row)
 
-Each grid step produces T4OUT=128 conv4 outputs (= 1024 conv1 outputs)
-for one input row; the halo needed across all levels is 8 conv1 rows on
-the left and 48 on the right, covered by an 8-row (64 packed-row)
-overlap in the DMA window, masked by global-index validity at each level
-(symmetric zero padding == zeroed out-of-range rows).
+Each grid step produces T4OUT = T1OUT/8 conv4 outputs (default 256, env
+VAP_CONV_T1OUT) for one input row. The DMA ships MS overlapping raw rows
+(ROWLEN=256 samples at stride 160, see _input_rows) and the in-kernel
+one-hot matmul expands them to the MS window rows; the cross-level halo
+(8 conv1 rows left, 48 right) is covered by the 16-row overlap baked
+into MS, masked by global-index validity at each level (symmetric zero
+padding == zeroed out-of-range rows).
 
 ChannelNorm: level 0 folds the channel mean into CENTERED conv weights
 (the conv directly yields z - mean) and computes the channel variance as
 a quadratic form in the input windows (see _prep_stack_weights); levels
 1-4 are feature-last (M, 256) so plain lane reductions work.
 
-Opt-in via VAP_CONV_IMPL=fused_stack; the default path remains XLA.
-Backward falls back to the unfused ops via custom VJP.
+Default on TPU for inference and frozen-encoder training (the stop
+gradient keeps the VJP off the hot path); VAP_CONV_IMPL=xla|fused|
+fused_stack overrides. Backward falls back to the unfused ops via
+custom VJP (only reached with an unfrozen encoder forced to this impl).
 """
 
 from __future__ import annotations

@@ -304,6 +304,87 @@ def forward_context_parallel(
     return {"logits": logits, "vad": vad}
 
 
+def _forward_mono_local(params: Params, wav_row: jax.Array, va: jax.Array,
+                        conf, t50: int, axis: str, n_dev: int):
+    """Per-device slice of the mono forward (vap/model.py:367-393):
+    encoder + VAD conditioning (pointwise over time) + two plain GPTs."""
+    t50_loc = t50 // n_dev
+    t100_loc = 2 * t50_loc
+    enc = params["encoder"]
+
+    z = _conv_features_local(enc, wav_row, t100_loc, axis, n_dev)
+    y = _gru_relay(enc, z, axis, n_dev)
+    x = _downsample_local(enc, y, axis, n_dev)  # (1, t50_loc, C)
+
+    d = jax.lax.axis_index(axis)
+    f0 = d * t50_loc
+    va_loc = jax.lax.dynamic_slice(
+        va, (0, f0, 0), (va.shape[0], t50_loc, va.shape[-1])
+    )
+    cond = va_loc @ params["va_condition"]["w"].T + params["va_condition"]["b"]
+    cond = layer_norm(cond, params["va_cond_ln"]["w"], params["va_cond_ln"]["b"])
+    x = x + cond.astype(x.dtype)
+
+    q_offset = d * t50_loc
+    nh = conf.num_heads
+    for layer in params["ar_channel"]["layers"]:
+        x = _layer_ctx(layer, x, None, nh, q_offset, axis)
+    for layer in params["ar"]["layers"]:
+        x = _layer_ctx(layer, x, None, nh, q_offset, axis)
+
+    logits = x @ params["vap_head"]["w"].T + params["vap_head"]["b"]
+    return logits.astype(jnp.float32)
+
+
+def forward_mono_context_parallel(
+    params: Params,
+    waveform: jax.Array,
+    va: jax.Array,
+    conf,
+    mesh: Mesh,
+    axis: str = "data",
+) -> Dict[str, jax.Array]:
+    """Mono (VAD-conditioned) forward with time sharded over `mesh[axis]`.
+    waveform: (1, 1, n), (1, n) or (n,); va: (1, Tva, 2) with Tva >= T50.
+    Returns {"logits": (1, T50, n_classes), "vad": va[:, :T50]} — matching
+    models.vap.forward_mono (va_history conditioning not supported here)."""
+    wav = waveform.reshape(1, -1)
+    n = wav.shape[-1]
+    n_dev = mesh.shape[axis]
+    t50 = n // TOTAL_DOWNSAMPLE
+    if va.ndim == 2:
+        va = va[None]
+    assert n % (TOTAL_DOWNSAMPLE * n_dev) == 0, (
+        f"n={n} must be a multiple of {TOTAL_DOWNSAMPLE * n_dev}; "
+        "use pad_waveform_for_mesh"
+    )
+    assert va.shape[1] >= t50, (va.shape, t50)
+
+    params_c, wav_c = _compute_cast(params, wav, conf)
+    if n_dev == 1:
+        from voiceactivityprojection_tpu.models.vap import forward_mono
+
+        out = forward_mono(params, wav, va, conf)
+        return {"logits": out["logits"][:, :t50], "vad": va[:, :t50]}
+
+    assert 2 * (t50 // n_dev) >= MARGIN_FRAMES, "chunks too small"
+    margin = MARGIN_FRAMES * CPC_DOWNSAMPLE
+    wav_pad = jnp.pad(wav_c, ((0, 0), (margin, margin)))
+
+    local = functools.partial(
+        _forward_mono_local, conf=conf, t50=t50, axis=axis, n_dev=n_dev
+    )
+    sharded = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P(), P()),
+        out_specs=P(None, axis, None),
+        check_vma=False,
+    )
+    logits = jax.jit(sharded)(params_c, wav_pad, va.astype(jnp.float32))
+    return {"logits": logits, "vad": va[:, :t50]}
+
+
 def probs_context_parallel(
     params: Params,
     waveform: jax.Array,
