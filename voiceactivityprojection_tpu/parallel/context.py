@@ -290,18 +290,26 @@ def forward_context_parallel(
     margin = MARGIN_FRAMES * CPC_DOWNSAMPLE
     wav_pad = jnp.pad(wav_c, ((0, 0), (margin, margin)))
 
+    logits, vad = _jit_stereo(conf, t50, axis, n_dev, mesh)(params_c, wav_pad)
+    return {"logits": logits, "vad": vad}
+
+
+@functools.lru_cache(maxsize=16)
+def _jit_stereo(conf, t50: int, axis: str, n_dev: int, mesh: Mesh):
+    """Cache the jitted shard_map per (conf, shape, mesh) so repeated
+    calls (extraction over many files) don't re-trace."""
     local = functools.partial(
         _forward_local, conf=conf, t50=t50, axis=axis, n_dev=n_dev
     )
-    sharded = jax.shard_map(
-        local,
-        mesh=mesh,
-        in_specs=(P(), P()),
-        out_specs=(P(None, axis, None), P(None, axis, None)),
-        check_vma=False,
+    return jax.jit(
+        jax.shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P(), P()),
+            out_specs=(P(None, axis, None), P(None, axis, None)),
+            check_vma=False,
+        )
     )
-    logits, vad = jax.jit(sharded)(params_c, wav_pad)
-    return {"logits": logits, "vad": vad}
 
 
 def _forward_mono_local(params: Params, wav_row: jax.Array, va: jax.Array,
@@ -371,18 +379,26 @@ def forward_mono_context_parallel(
     margin = MARGIN_FRAMES * CPC_DOWNSAMPLE
     wav_pad = jnp.pad(wav_c, ((0, 0), (margin, margin)))
 
+    logits = _jit_mono(conf, t50, axis, n_dev, mesh)(
+        params_c, wav_pad, va.astype(jnp.float32)
+    )
+    return {"logits": logits, "vad": va[:, :t50]}
+
+
+@functools.lru_cache(maxsize=16)
+def _jit_mono(conf, t50: int, axis: str, n_dev: int, mesh: Mesh):
     local = functools.partial(
         _forward_mono_local, conf=conf, t50=t50, axis=axis, n_dev=n_dev
     )
-    sharded = jax.shard_map(
-        local,
-        mesh=mesh,
-        in_specs=(P(), P(), P()),
-        out_specs=P(None, axis, None),
-        check_vma=False,
+    return jax.jit(
+        jax.shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P(), P(), P()),
+            out_specs=P(None, axis, None),
+            check_vma=False,
+        )
     )
-    logits = jax.jit(sharded)(params_c, wav_pad, va.astype(jnp.float32))
-    return {"logits": logits, "vad": va[:, :t50]}
 
 
 def probs_context_parallel(
