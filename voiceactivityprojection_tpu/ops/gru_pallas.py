@@ -19,6 +19,7 @@ falls back to `lax.scan` otherwise (and on CPU).
 from __future__ import annotations
 
 import functools
+import os
 from typing import Tuple
 
 import jax
@@ -28,43 +29,59 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 TIME_BLOCK = 8  # sequential steps per grid iteration (cuts grid overhead)
+# batch-group interleave: the per-step chain MXU(h@W) -> VPU(gates) -> next
+# step is latency-bound (measured ~2.7 us/step vs ~0.5 us of issue work at
+# B=128); splitting the batch rows into G independent groups and emitting
+# [dot_0..dot_{G-1}, gates_0..gates_{G-1}] per step gives the Mosaic
+# scheduler cross-group ILP to hide each unit's latency under the other's
+# work. Rows are independent, so the math is identical. Env knob for
+# on-chip A/B; groups must divide the padded batch into 8-row multiples.
+GROUPS = int(os.environ.get("VAP_GRU_GROUPS", "1"))
 
 
-def _gru_kernel(xp_ref, w_hh_ref, b_hh_ref, h0_ref, ys_ref, h_scr, *, hidden: int):
+def _gru_kernel(
+    xp_ref, w_hh_ref, b_hh_ref, h0_ref, ys_ref, h_scr, *, hidden: int, groups: int
+):
     tb = pl.program_id(0)
 
     @pl.when(tb == 0)
     def _init():
         h_scr[:] = h0_ref[:].astype(h_scr.dtype)
 
-    h = h_scr[:]
+    bp = h_scr.shape[0]
+    bg = bp // groups
+    hs = [h_scr[g * bg : (g + 1) * bg] for g in range(groups)]
     # statically-unrolled block of TIME_BLOCK sequential steps; the input
     # projections for the whole block arrive via one pipelined load
     for t in range(TIME_BLOCK):
-        h_proj = (
+        xp = xp_ref[t].astype(jnp.float32)  # (B, 3H) — time-major block
+        projs = [
             jax.lax.dot_general(
-                h, w_hh_ref[:],
+                hs[g], w_hh_ref[:],
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
             + b_hh_ref[:]
-        )
-        xp = xp_ref[t].astype(jnp.float32)  # (B, 3H) — time-major block
+            for g in range(groups)
+        ]
+        for g in range(groups):
+            h_proj = projs[g]
+            rows = slice(g * bg, (g + 1) * bg)
+            xr = xp[rows, :hidden]
+            xz = xp[rows, hidden : 2 * hidden]
+            xn = xp[rows, 2 * hidden :]
+            hr = h_proj[:, :hidden]
+            hz = h_proj[:, hidden : 2 * hidden]
+            hn = h_proj[:, 2 * hidden :]
 
-        xr = xp[:, :hidden]
-        xz = xp[:, hidden : 2 * hidden]
-        xn = xp[:, 2 * hidden :]
-        hr = h_proj[:, :hidden]
-        hz = h_proj[:, hidden : 2 * hidden]
-        hn = h_proj[:, 2 * hidden :]
+            r = jax.nn.sigmoid(xr + hr)
+            z = jax.nn.sigmoid(xz + hz)
+            n = jnp.tanh(xn + r * hn)
+            hs[g] = ((1.0 - z) * n + z * hs[g]).astype(jnp.float32)
+            ys_ref[t, rows] = hs[g].astype(ys_ref.dtype)
 
-        r = jax.nn.sigmoid(xr + hr)
-        z = jax.nn.sigmoid(xz + hz)
-        n = jnp.tanh(xn + r * hn)
-        h = ((1.0 - z) * n + z * h).astype(jnp.float32)
-        ys_ref[t] = h.astype(ys_ref.dtype)
-
-    h_scr[:] = h.astype(h_scr.dtype)
+    for g in range(groups):
+        h_scr[g * bg : (g + 1) * bg] = hs[g].astype(h_scr.dtype)
 
 
 def _scan_recurrence(x_proj, w_hh, b_hh, h0):
@@ -99,7 +116,8 @@ def gru_recurrence_pallas(
 def _forward_pallas(x_proj, w_hh, b_hh, h0):
     B, T, threeH = x_proj.shape
     H = threeH // 3
-    pad_b = (-B) % 8
+    groups = GROUPS if GROUPS > 0 else 1
+    pad_b = (-B) % (8 * groups)
     pad_t = (-T) % TIME_BLOCK
     if pad_b or pad_t:
         x_proj = jnp.pad(x_proj, [(0, pad_b), (0, pad_t), (0, 0)])
@@ -112,7 +130,7 @@ def _forward_pallas(x_proj, w_hh, b_hh, h0):
     xp_tm = jnp.swapaxes(x_proj, 0, 1)  # (Tp, Bp, 3H)
 
     ys_tm = pl.pallas_call(
-        functools.partial(_gru_kernel, hidden=H),
+        functools.partial(_gru_kernel, hidden=H, groups=groups),
         grid=(Tp // TIME_BLOCK,),
         in_specs=[
             pl.BlockSpec((TIME_BLOCK, Bp, threeH), lambda t: (t, 0, 0)),
