@@ -143,3 +143,37 @@ def test_run_cli_on_example_wav(model, tmp_path):
     assert r.returncode == 0, r.stderr[-2000:]
     data = json.loads(out.read_text())
     assert "p_now" in data and "H" in data
+
+
+def test_run_cli_context_parallel(model, tmp_path):
+    """run.py --context_parallel over the 8-device CPU mesh must agree
+    with the plain single-shot CLI on the shared frames."""
+    if not os.path.exists(EXAMPLE_WAV):
+        pytest.skip("no example wav")
+    import subprocess, sys
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    conf_args = [
+        "--vap_dim", "16", "--vap_encoder_dim", "16",
+        "--vap_channel_layers", "1", "--vap_cross_layers", "1",
+    ]
+    env = dict(
+        os.environ,
+        VAP_PLATFORM="cpu",
+        XLA_FLAGS=os.environ.get("XLA_FLAGS", "")
+        + " --xla_force_host_platform_device_count=8",
+    )
+    outs = {}
+    for tag, extra in (("ctx", ["--context_parallel"]), ("plain", [])):
+        out = tmp_path / f"{tag}.json"
+        r = subprocess.run(
+            [sys.executable, "run.py", "-a", EXAMPLE_WAV, "-o", str(out)]
+            + conf_args + extra,
+            cwd=root, capture_output=True, text=True, env=env, timeout=300,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        outs[tag] = json.loads(out.read_text())
+    a = np.asarray(outs["ctx"]["p_now"])
+    b = np.asarray(outs["plain"]["p_now"])
+    n = min(a.shape[1], b.shape[1])
+    np.testing.assert_allclose(a[:, :n], b[:, :n], rtol=1e-4, atol=1e-4)
