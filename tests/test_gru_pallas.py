@@ -35,3 +35,38 @@ def test_unsupported_hidden_falls_back():
     x = jax.random.normal(jax.random.key(1), (2, 7, 96))
     ys, h = gru(params, x, impl="auto")
     assert ys.shape == (2, 7, 96)
+
+
+def test_gru_downsample_fused_matches_unfused():
+    """Fused GRU+downsample epilogue (interpret mode) == gru() followed by
+    the causal k=5 s=2 conv + LN + GELU."""
+    import numpy as np
+    from voiceactivityprojection_tpu.ops.gru_pallas import gru_downsample_fused
+    from voiceactivityprojection_tpu.ops.gru import gru, init_gru
+    from voiceactivityprojection_tpu.ops.conv import (
+        causal_conv1d,
+        init_conv1d,
+        init_norm,
+        layer_norm,
+    )
+
+    B, T, H = 3, 48, 128
+    key = jax.random.key(0)
+    ks = jax.random.split(key, 4)
+    g = init_gru(ks[0], H, H)
+    conv = init_conv1d(ks[1], 5, H, H)
+    ln = init_norm(H)
+    x = jax.random.normal(ks[2], (B, T, H)) * 0.5
+
+    y, _ = gru(g, x, impl="scan")
+    want = causal_conv1d(y, conv["w"], conv["b"], stride=2)
+    want = layer_norm(want, ln["w"], ln["b"])
+    want = jax.nn.gelu(want, approximate=False)
+
+    x_proj = x @ g["w_ih"] + g["b_ih"]
+    h0 = jnp.zeros((B, H))
+    got = gru_downsample_fused(
+        x_proj, g["w_hh"], g["b_hh"], h0, conv["w"], conv["b"], ln["w"], ln["b"]
+    )
+    assert got.shape == want.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5)

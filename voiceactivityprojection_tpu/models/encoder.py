@@ -138,7 +138,31 @@ def apply_encoder(
         waveform = waveform[:, 0]
     x = waveform[..., None]  # (B, n, 1)
     z = _conv_stack(params, x, fused_auto=fused_auto)
-    z, _ = gru(params["gAR"], z)
+    # opt-in fused GRU+downsample epilogue kernel (VAP_GRU_DS=fused, TPU):
+    # the (B, T, H) GRU output is only consumed by the downsample here, so
+    # the fusion keeps it out of HBM entirely (pending on-chip A/B)
+    import os
+
+    g = params["gAR"]
+    hidden = g["w_hh"].shape[0]
+    if (
+        os.environ.get("VAP_GRU_DS") == "fused"
+        and jax.default_backend() not in ("cpu",)
+        and hidden % 128 == 0
+        and z.shape[1] % 2 == 0
+    ):
+        from voiceactivityprojection_tpu.ops.gru_pallas import (
+            gru_downsample_fused,
+        )
+
+        d = params["downsample"]
+        x_proj = z @ g["w_ih"] + g["b_ih"]
+        h0 = jnp.zeros((z.shape[0], hidden), dtype=z.dtype)
+        return gru_downsample_fused(
+            x_proj, g["w_hh"], g["b_hh"], h0,
+            d["conv"]["w"], d["conv"]["b"], d["ln"]["w"], d["ln"]["b"],
+        )
+    z, _ = gru(g, z)
     return _downsample(params, z)
 
 

@@ -84,6 +84,140 @@ def _gru_kernel(
         h_scr[g * bg : (g + 1) * bg] = hs[g].astype(h_scr.dtype)
 
 
+def _gru_ds_kernel(
+    xp_ref,      # (TIME_BLOCK, Bp, 3H) input projections, time-major
+    w_hh_ref,    # (H, 3H)
+    b_hh_ref,    # (1, 3H)
+    h0_ref,      # (Bp, H)
+    wd_ref,      # (5H, H) downsample conv taps stacked along rows
+    bd_ref,      # (1, H)
+    g_ref,       # (1, H) downsample LayerNorm gamma
+    be_ref,      # (1, H) downsample LayerNorm beta
+    o_ref,       # (TIME_BLOCK//2, Bp, H) 50 Hz outputs, time-major
+    h_scr,       # (Bp, H)
+    tail_scr,    # (4, Bp, H) last 4 GRU planes of the previous block
+    *,
+    hidden: int,
+    groups: int,
+):
+    """GRU recurrence + CAUSAL downsample conv (k=5, s=2) + LayerNorm +
+    GELU in one kernel: the (B, T, H) GRU output — consumed ONLY by the
+    downsample in the batch forward (models/encoder.py apply_encoder) —
+    never touches HBM. In the kernel's time-major layout each conv tap is
+    a whole (Bp, H) plane, so the stride-2 window is 5 plane-matmuls per
+    output frame (no sublane striding). tail starts at zeros == the causal
+    left padding (encoder_components.py:453-460 contract)."""
+    tb = pl.program_id(0)
+    f32 = jnp.float32
+
+    @pl.when(tb == 0)
+    def _init():
+        h_scr[:] = h0_ref[:].astype(h_scr.dtype)
+        tail_scr[:] = jnp.zeros_like(tail_scr)
+
+    bp = h_scr.shape[0]
+    bg = bp // groups
+    hs = [h_scr[g * bg : (g + 1) * bg] for g in range(groups)]
+    ys = []
+    for t in range(TIME_BLOCK):
+        xp = xp_ref[t].astype(f32)
+        projs = [
+            jax.lax.dot_general(
+                hs[g], w_hh_ref[:],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=f32,
+            )
+            + b_hh_ref[:]
+            for g in range(groups)
+        ]
+        parts = []
+        for g in range(groups):
+            h_proj = projs[g]
+            rows = slice(g * bg, (g + 1) * bg)
+            r = jax.nn.sigmoid(xp[rows, :hidden] + h_proj[:, :hidden])
+            z = jax.nn.sigmoid(
+                xp[rows, hidden : 2 * hidden] + h_proj[:, hidden : 2 * hidden]
+            )
+            n = jnp.tanh(
+                xp[rows, 2 * hidden :] + r * h_proj[:, 2 * hidden :]
+            )
+            hs[g] = ((1.0 - z) * n + z * hs[g]).astype(f32)
+            parts.append(hs[g])
+        ys.append(parts[0] if groups == 1 else jnp.concatenate(parts, axis=0))
+
+    ext = [tail_scr[i].astype(f32) for i in range(4)] + ys  # 12 planes
+    dn = (((1,), (0,)), ((), ()))
+    for j in range(TIME_BLOCK // 2):
+        acc = bd_ref[:].astype(f32)
+        for tap in range(5):
+            acc = acc + jax.lax.dot_general(
+                ext[2 * j + tap],
+                wd_ref[tap * hidden : (tap + 1) * hidden],
+                dimension_numbers=dn,
+                preferred_element_type=f32,
+            )
+        mu = acc.mean(-1, keepdims=True)
+        var = ((acc - mu) ** 2).mean(-1, keepdims=True)
+        y = (acc - mu) * jax.lax.rsqrt(var + 1e-5) * g_ref[:] + be_ref[:]
+        o_ref[j] = jax.nn.gelu(y, approximate=False).astype(o_ref.dtype)
+
+    for i in range(4):
+        tail_scr[i] = ext[TIME_BLOCK + i].astype(tail_scr.dtype)
+    for g in range(groups):
+        h_scr[g * bg : (g + 1) * bg] = hs[g].astype(h_scr.dtype)
+
+
+def gru_downsample_fused(
+    x_proj: jax.Array,  # (B, T, 3H) precomputed GRU input projections
+    w_hh: jax.Array, b_hh: jax.Array, h0: jax.Array,
+    w_d: jax.Array,     # (5, H, H) downsample conv weights
+    b_d: jax.Array,     # (H,)
+    ln_w: jax.Array, ln_b: jax.Array,
+) -> jax.Array:
+    """Fused GRU + causal k=5 s=2 downsample + LN + GELU.
+    Returns the 50 Hz features (B, T//2, H). Inference/frozen-encoder
+    forward only (no VJP — callers guard with stop_gradient)."""
+    B, T, threeH = x_proj.shape
+    H = threeH // 3
+    assert T % 2 == 0, T
+    groups = GROUPS if GROUPS > 0 else 1
+    pad_b = (-B) % (8 * groups)
+    pad_t = (-T) % TIME_BLOCK
+    if pad_b or pad_t:
+        x_proj = jnp.pad(x_proj, [(0, pad_b), (0, pad_t), (0, 0)])
+        h0 = jnp.pad(h0, [(0, pad_b), (0, 0)])
+    Bp, Tp = B + pad_b, T + pad_t
+
+    xp_tm = jnp.swapaxes(x_proj, 0, 1)
+    wd = w_d.reshape(5 * H, H)
+
+    o_tm = pl.pallas_call(
+        functools.partial(_gru_ds_kernel, hidden=H, groups=groups),
+        grid=(Tp // TIME_BLOCK,),
+        in_specs=[
+            pl.BlockSpec((TIME_BLOCK, Bp, threeH), lambda t: (t, 0, 0)),
+            pl.BlockSpec((H, threeH), lambda t: (0, 0)),
+            pl.BlockSpec((1, threeH), lambda t: (0, 0)),
+            pl.BlockSpec((Bp, H), lambda t: (0, 0)),
+            pl.BlockSpec((5 * H, H), lambda t: (0, 0)),
+            pl.BlockSpec((1, H), lambda t: (0, 0)),
+            pl.BlockSpec((1, H), lambda t: (0, 0)),
+            pl.BlockSpec((1, H), lambda t: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((TIME_BLOCK // 2, Bp, H), lambda t: (t, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((Tp // 2, Bp, H), x_proj.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((Bp, H), jnp.float32),
+            pltpu.VMEM((4, Bp, H), jnp.float32),
+        ],
+        interpret=jax.default_backend() == "cpu",
+    )(
+        xp_tm, w_hh, b_hh.reshape(1, threeH), h0, wd,
+        b_d.reshape(1, H), ln_w.reshape(1, H), ln_b.reshape(1, H),
+    )
+    return jnp.swapaxes(o_tm, 0, 1)[:B, : T // 2]
+
+
 def _scan_recurrence(x_proj, w_hh, b_hh, h0):
     """lax.scan reference recurrence (used for the backward pass)."""
     hidden = w_hh.shape[0]
