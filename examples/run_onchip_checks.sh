@@ -109,3 +109,33 @@ mode = os.environ.get("VAP_GRU_DS", "off")
 print(f"encoder VAP_GRU_DS={mode}: {(time.time()-t0)/10*1e3:.2f} ms (chk {chk:.1f})")
 PYEOF
 done
+
+echo "== 6. conv T1OUT retune post in-kernel expand =="
+for t1 in 1024 2048 1024 2048; do
+  VAP_CONV_T1OUT=$t1 timeout 900 python - <<'PYEOF'
+import os, time
+import numpy as np
+import jax, jax.numpy as jnp
+from voiceactivityprojection_tpu.utils.runtime import setup_runtime
+setup_runtime()
+from voiceactivityprojection_tpu.ops import conv_stack_fused as csf
+from voiceactivityprojection_tpu.config import VapConfig
+from voiceactivityprojection_tpu.models.vap import init_vap
+bf = jnp.bfloat16
+params = init_vap(jax.random.key(0), VapConfig(dtype="bfloat16"))
+enc = jax.tree.map(lambda x: x.astype(bf) if x.dtype == jnp.float32 else x,
+                   params["encoder"])
+rng = np.random.default_rng(0)
+x = jnp.asarray(rng.normal(size=(128, 320_000)).astype(np.float32) * 0.1, bf)
+f = jax.jit(lambda a: csf.fused_conv_stack(enc, a))
+acc = jnp.zeros(())
+for _ in range(8):
+    acc = acc + f(x).astype(jnp.float32).sum()
+float(acc)
+t0 = time.time(); acc = jnp.zeros(())
+for _ in range(10):
+    acc = acc + f(x).astype(jnp.float32).sum()
+float(acc)
+print(f"T1OUT={os.environ['VAP_CONV_T1OUT']}: {(time.time()-t0)/10*1e3:.2f} ms")
+PYEOF
+done
