@@ -17,6 +17,17 @@ Public entry points mirror the reference's layer map (SURVEY.md §1):
     out = model.probs(waveform)            # p_now / p_future / H / probs / vad
 """
 
+import os as _os
+
+if _os.environ.get("VAP_PLATFORM"):
+    # honor the documented platform override for LIBRARY users too (the
+    # CLIs route through utils.runtime.setup_runtime; a plain import must
+    # not leave the process pinned to an unreachable accelerator). Pure
+    # config update — no computation happens at import.
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", _os.environ["VAP_PLATFORM"])
+
 from voiceactivityprojection_tpu.config import (
     VapConfig,
     VapMonoConfig,
