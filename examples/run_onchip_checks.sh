@@ -110,6 +110,39 @@ print(f"encoder VAP_GRU_DS={mode}: {(time.time()-t0)/10*1e3:.2f} ms (chk {chk:.1
 PYEOF
 done
 
+echo "== 5b. combined knobs: VAP_GRU_DS=fused x VAP_GRU_GROUPS=2/4 =="
+for g in 2 4; do
+  VAP_GRU_DS=fused VAP_GRU_GROUPS=$g timeout 900 python - <<'PYEOF'
+import os, time
+import numpy as np
+import jax, jax.numpy as jnp
+from voiceactivityprojection_tpu.utils.runtime import setup_runtime
+setup_runtime()
+from voiceactivityprojection_tpu.config import VapConfig
+from voiceactivityprojection_tpu.models.vap import init_vap
+from voiceactivityprojection_tpu.models.encoder import apply_encoder
+conf = VapConfig(dtype="bfloat16")
+params = init_vap(jax.random.key(0), conf)
+bf = jnp.bfloat16
+enc = jax.tree.map(lambda x: x.astype(bf) if x.dtype == jnp.float32 else x,
+                   params["encoder"])
+rng = np.random.default_rng(0)
+w = jnp.asarray(rng.normal(size=(128, 320_000)).astype(np.float32) * 0.1, bf)
+f = jax.jit(lambda w: apply_encoder(enc, w, fused_auto=True))
+chk = float(f(w).astype(jnp.float32).sum())
+acc = jnp.zeros(())
+for _ in range(8):
+    acc = acc + f(w).astype(jnp.float32).sum()
+float(acc)
+t0 = time.time(); acc = jnp.zeros(())
+for _ in range(10):
+    acc = acc + f(w).astype(jnp.float32).sum()
+float(acc)
+g = os.environ.get("VAP_GRU_GROUPS")
+print(f"encoder DS=fused groups={g}: {(time.time()-t0)/10*1e3:.2f} ms (chk {chk:.1f})")
+PYEOF
+done
+
 echo "== 6. conv T1OUT retune post in-kernel expand =="
 for t1 in 1024 2048 1024 2048; do
   VAP_CONV_T1OUT=$t1 timeout 900 python - <<'PYEOF'

@@ -29,6 +29,55 @@ def test_pallas_gru_with_initial_state():
     np.testing.assert_allclose(np.asarray(ys_s), np.asarray(ys_p), atol=1e-5)
 
 
+@pytest.mark.parametrize("groups", [2, 4])
+def test_pallas_gru_groups_match_scan(monkeypatch, groups):
+    """VAP_GRU_GROUPS splits batch rows into independent interleaved groups
+    — a pure scheduling change, so the math must match scan exactly."""
+    monkeypatch.setenv("VAP_GRU_GROUPS", str(groups))
+    params = init_gru(jax.random.key(0), 128, 128)
+    x = jax.random.normal(jax.random.key(1), (5, 24, 128))  # B pads to 8*G
+    h0 = jax.random.normal(jax.random.key(2), (5, 128))
+    ys_s, h_s = gru(params, x, h0=h0, impl="scan")
+    ys_p, h_p = gru(params, x, h0=h0, impl="pallas")
+    np.testing.assert_allclose(np.asarray(ys_s), np.asarray(ys_p), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(h_s), np.asarray(h_p), atol=1e-5)
+
+
+@pytest.mark.parametrize("groups", [2, 4])
+def test_gru_downsample_fused_groups(monkeypatch, groups):
+    """The fused GRU+downsample kernel under batch-group interleave must
+    match the unfused pipeline."""
+    from voiceactivityprojection_tpu.ops.gru_pallas import gru_downsample_fused
+    from voiceactivityprojection_tpu.ops.conv import (
+        causal_conv1d,
+        init_conv1d,
+        init_norm,
+        layer_norm,
+    )
+
+    monkeypatch.setenv("VAP_GRU_GROUPS", str(groups))
+    B, T, H = 3, 16, 128
+    ks = jax.random.split(jax.random.key(7), 3)
+    g = init_gru(ks[0], H, H)
+    conv = init_conv1d(ks[1], 5, H, H)
+    ln = init_norm(H)
+    x = jax.random.normal(ks[2], (B, T, H)) * 0.5
+
+    y, _ = gru(g, x, impl="scan")
+    want = causal_conv1d(y, conv["w"], conv["b"], stride=2)
+    want = layer_norm(want, ln["w"], ln["b"])
+    want = jax.nn.gelu(want, approximate=False)
+
+    x_proj = x @ g["w_ih"] + g["b_ih"]
+    got = gru_downsample_fused(
+        x_proj, g["w_hh"], g["b_hh"], jnp.zeros((B, H)),
+        conv["w"], conv["b"], ln["w"], ln["b"],
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5
+    )
+
+
 def test_unsupported_hidden_falls_back():
     # hidden 96 not lane-aligned -> auto must fall back to scan, not crash
     params = init_gru(jax.random.key(0), 96, 96)

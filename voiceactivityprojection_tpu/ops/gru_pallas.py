@@ -36,7 +36,14 @@ TIME_BLOCK = 8  # sequential steps per grid iteration (cuts grid overhead)
 # scheduler cross-group ILP to hide each unit's latency under the other's
 # work. Rows are independent, so the math is identical. Env knob for
 # on-chip A/B; groups must divide the padded batch into 8-row multiples.
-GROUPS = int(os.environ.get("VAP_GRU_GROUPS", "1"))
+# Read at trace time (not import time) so tests and A/B scripts can flip
+# it per call; jitted callers re-trace per shape, and A/B runs use fresh
+# processes, so a stale jit cache entry is not a concern in practice.
+
+
+def _groups() -> int:
+    g = int(os.environ.get("VAP_GRU_GROUPS", "1"))
+    return g if g > 0 else 1
 
 
 def _gru_kernel(
@@ -180,7 +187,7 @@ def gru_downsample_fused(
     B, T, threeH = x_proj.shape
     H = threeH // 3
     assert T % 2 == 0, T
-    groups = GROUPS if GROUPS > 0 else 1
+    groups = _groups()
     pad_b = (-B) % (8 * groups)
     pad_t = (-T) % TIME_BLOCK
     if pad_b or pad_t:
@@ -250,7 +257,7 @@ def gru_recurrence_pallas(
 def _forward_pallas(x_proj, w_hh, b_hh, h0):
     B, T, threeH = x_proj.shape
     H = threeH // 3
-    groups = GROUPS if GROUPS > 0 else 1
+    groups = _groups()
     pad_b = (-B) % (8 * groups)
     pad_t = (-T) % TIME_BLOCK
     if pad_b or pad_t:
