@@ -48,3 +48,14 @@ def test_conv_stack_dispatch(enc, monkeypatch):
     got = np.asarray(_conv_stack(enc, x))
     assert got.shape == want.shape
     np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+@pytest.mark.parametrize("t1out", [1024, 2048])
+def test_parity_tile_override(enc, monkeypatch, t1out):
+    """VAP_CONV_T1OUT is read at trace time; both A/B tile sizes must be
+    exact (multi-tile at 1024: n4=200 -> 2 tiles of 128)."""
+    monkeypatch.setenv("VAP_CONV_T1OUT", str(t1out))
+    x = jax.random.normal(jax.random.key(4), (2, 32000)) * 0.1
+    want = np.asarray(_reference_stack(enc, x))
+    got = np.asarray(fused_conv_stack(enc, x))
+    np.testing.assert_allclose(got, want, atol=1e-4)

@@ -34,6 +34,34 @@ def test_bf16_forward_tracks_f32():
     assert corr > 0.98, corr
 
 
+def test_bf16_forward_mono_tracks_f32():
+    """forward_mono honors conf.dtype like the stereo forward (the VAD
+    conditioning joins the features in compute dtype; logits come back
+    f32)."""
+    from voiceactivityprojection_tpu.config import VapMonoConfig
+    from voiceactivityprojection_tpu.models.vap import forward_mono, init_vap_mono
+
+    kw = dict(dim=16, encoder_dim=16, channel_layers=1, cross_layers=1)
+    conf32 = VapMonoConfig(**kw)
+    conf16 = VapMonoConfig(dtype="bfloat16", **kw)
+    params = init_vap_mono(jax.random.key(0), conf32)
+    w = 0.1 * jax.random.normal(jax.random.key(1), (1, 1, 16000))
+    va = (
+        jax.random.uniform(jax.random.key(2), (1, 50, 2)) > 0.5
+    ).astype(jnp.float32)
+
+    out32 = forward_mono(params, w, va, conf32)
+    out16 = forward_mono(params, w, va, conf16)
+
+    assert out32["logits"].dtype == jnp.float32
+    assert out16["logits"].dtype == jnp.float32
+    p32 = np.asarray(jax.nn.softmax(out32["logits"], -1))
+    p16 = np.asarray(jax.nn.softmax(out16["logits"], -1))
+    assert np.abs(p32 - p16).max() < 0.05
+    corr = np.corrcoef(p32.ravel(), p16.ravel())[0, 1]
+    assert corr > 0.98, corr
+
+
 def test_bf16_attention_close_to_f32():
     """The bf16 score-storage softmax stays within bf16 quantization of the
     f32 dense path (ops/attention.py fast path)."""

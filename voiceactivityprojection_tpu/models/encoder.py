@@ -140,13 +140,17 @@ def apply_encoder(
     z = _conv_stack(params, x, fused_auto=fused_auto)
     # opt-in fused GRU+downsample epilogue kernel (VAP_GRU_DS=fused, TPU):
     # the (B, T, H) GRU output is only consumed by the downsample here, so
-    # the fusion keeps it out of HBM entirely (pending on-chip A/B)
+    # the fusion keeps it out of HBM entirely (pending on-chip A/B).
+    # Gated on fused_auto — the kernel has no VJP, and fused_auto is the
+    # caller's "no grad flows through the encoder" signal (inference or
+    # frozen encoder), exactly like the fused conv stack above.
     import os
 
     g = params["gAR"]
     hidden = g["w_hh"].shape[0]
     if (
-        os.environ.get("VAP_GRU_DS") == "fused"
+        fused_auto
+        and os.environ.get("VAP_GRU_DS") == "fused"
         and jax.default_backend() not in ("cpu",)
         and hidden % 128 == 0
         and z.shape[1] % 2 == 0

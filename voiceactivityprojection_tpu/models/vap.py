@@ -199,6 +199,7 @@ def forward_mono(
     if waveform.ndim == 3:
         assert waveform.shape[1] == 1, f"expected (B, 1, n), got {waveform.shape}"
         waveform = waveform[:, 0]
+    params, waveform = _compute_cast(params, waveform, conf)
     x = apply_encoder(
         params["encoder"],
         waveform,
@@ -207,7 +208,8 @@ def forward_mono(
     if conf.freeze_encoder:
         x = jax.lax.stop_gradient(x)
 
-    # VAD conditioning (vap/model.py:354-359)
+    # VAD conditioning (vap/model.py:354-359); va stays float32 (it is a
+    # binary mask), the conditioning joins the features in compute dtype
     cond = va @ params["va_condition"]["w"].T + params["va_condition"]["b"]
     if conf.va_history and va_history is not None and "va_cond_history" in params:
         cond = cond + (
@@ -216,7 +218,7 @@ def forward_mono(
         )
     cond = layer_norm(cond, params["va_cond_ln"]["w"], params["va_cond_ln"]["b"])
     n = min(x.shape[1], cond.shape[1])
-    x = x[:, :n] + cond[:, :n]
+    x = x[:, :n] + cond[:, :n].astype(x.dtype)
 
     x = apply_gpt(
         params["ar_channel"], x, num_heads=conf.num_heads,
@@ -227,7 +229,9 @@ def forward_mono(
         dropout=drop, rng=r[1], attn_impl=conf.attn_impl,
     )["x"]
 
-    logits = x @ params["vap_head"]["w"].T + params["vap_head"]["b"]
+    logits = (x @ params["vap_head"]["w"].T + params["vap_head"]["b"]).astype(
+        jnp.float32
+    )
     return {"logits": logits, "vad": va}
 
 

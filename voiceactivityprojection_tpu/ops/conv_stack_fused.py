@@ -51,6 +51,7 @@ custom VJP (only reached with an unfrozen encoder forced to this impl).
 
 from __future__ import annotations
 
+import functools
 from typing import Any, Dict
 
 import jax
@@ -78,10 +79,12 @@ NPAR = 8                 # parity split of conv1/packed-z0 rows
 # conv1 outputs per grid step (bigger M per parity matmul: at 1024/MS=136
 # the kernel measured overhead-bound, 46.6 ms ~= XLA; 2048 is the ceiling —
 # 4096 needs a 17 MB kernel stack, over v5e's 16 MB scoped-vmem limit, and
-# fails to compile). Env override for tile experiments.
-T1OUT = int(_os.environ.get("VAP_CONV_T1OUT", "2048"))
-T4OUT = T1OUT // 8       # conv4 outputs per grid step
-MS = T1OUT // 8 + 16     # rows per parity array (+ halo, mult of 8)
+# fails to compile). Env override for tile experiments — read at TRACE
+# time (not import) so A/B harnesses and tests can flip it per call.
+def _t1out() -> int:
+    return int(_os.environ.get("VAP_CONV_T1OUT", "2048"))
+
+
 LEFT = 8                 # left halo in conv1 rows (one parity row)
 # conv2..conv4 all share (k=4, s=2, pad=1)
 KU, SU, PU = 4, 2, 1
@@ -114,9 +117,13 @@ def _kernel(
     b3_ref, g3_ref, be3_ref,
     w4_ref,     # (1024, 256)
     b4_ref, g4_ref, be4_ref,
-    o_ref,      # (1, T4OUT, 256)
-    raw_vmem,   # (2, MS, 256) double-buffered DMA scratch (raw rows)
+    o_ref,      # (1, t4out, 256)
+    raw_vmem,   # (2, ms, 256) double-buffered DMA scratch (raw rows)
     sem,        # (2,)
+    *,
+    t1out: int,
+    t4out: int,
+    ms: int,
 ):
     r = pl.program_id(0)
     i = pl.program_id(1)
@@ -127,7 +134,7 @@ def _kernel(
 
     def dma_for(row, tile, s):
         return pltpu.make_async_copy(
-            raw_hbm.at[row, pl.ds(tile * (T1OUT // NPAR), MS), :],
+            raw_hbm.at[row, pl.ds(tile * (t1out // NPAR), ms), :],
             raw_vmem.at[s], sem.at[s],
         )
 
@@ -158,12 +165,12 @@ def _kernel(
     # replaces both the former host-side XLA gather (measured 15.3 ms at
     # the bench shape) and the 4x-larger window-array DMA
     win = dot(raw_vmem[slot], gsel_ref[:]).astype(raw_vmem.dtype)
-    rows = jax.lax.broadcasted_iota(jnp.int32, (MS, PACK * C), 0)
-    blocks = jax.lax.broadcasted_iota(jnp.int32, (MS, PACK * C), 1) // C
-    rows256 = jax.lax.broadcasted_iota(jnp.int32, (MS, C), 0)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (ms, PACK * C), 0)
+    blocks = jax.lax.broadcasted_iota(jnp.int32, (ms, PACK * C), 1) // C
+    rows256 = jax.lax.broadcasted_iota(jnp.int32, (ms, C), 0)
 
     # ---- level 0: conv0 + block ChannelNorm + ReLU, per parity ----------
-    # parity p, local row s -> packed z0 row g = i*T1OUT - LEFT + 8s + p
+    # parity p, local row s -> packed z0 row g = i*t1out - LEFT + 8s + p
     #
     # ChannelNorm without the expensive stat matmuls: the conv weights are
     # CENTERED per tap (u_c = w_c - mean_c w_c), so the conv directly
@@ -177,9 +184,9 @@ def _kernel(
     for p in range(NPAR):
         win_p = win[:, p * 128 : (p + 1) * 128]
         wf = win_p.astype(f32)
-        d = dot(win_p, w0c_ref[:]) + b0c_ref[:]        # (MS, 1024) = z - mean
-        q = dot(wf, w0quad_ref[:])                     # (MS, 128)
-        s2 = dot((q + lin_ref[:]) * wf, bsumb_ref[:]) + cst_ref[:]  # (MS, 512)
+        d = dot(win_p, w0c_ref[:]) + b0c_ref[:]        # (ms, 1024) = z - mean
+        q = dot(wf, w0quad_ref[:])                     # (ms, 128)
+        s2 = dot((q + lin_ref[:]) * wf, bsumb_ref[:]) + cst_ref[:]  # (ms, 512)
         s2 = jnp.maximum(s2, 0.0)                      # guard fp cancellation
         inv = jax.lax.rsqrt(s2 / (C - 1) + 1e-5)
         # block b's sum sits broadcast over lane group [128b, 128(b+1));
@@ -190,7 +197,7 @@ def _kernel(
         )
         z = jnp.maximum(d * inv_l * g0_ref[:] + be0_ref[:], 0.0)
         # conv1's symmetric pad: zero conv0 positions outside [P1, n0p - P1)
-        g = i * T1OUT - LEFT + 8 * rows + p
+        g = i * t1out - LEFT + 8 * rows + p
         t0p = PACK * g + blocks
         z = jnp.where((t0p >= P1) & (t0p < n0p - P1), z, 0.0)
         # store inter-level activations in the I/O dtype (bf16 in mixed
@@ -218,11 +225,11 @@ def _kernel(
         if a.dtype.itemsize < 4:
             # Mosaic only supports 32-bit sublane rotates: roll in f32
             return pltpu.roll(
-                a.astype(jnp.float32), shift=(-d) % MS, axis=0
+                a.astype(jnp.float32), shift=(-d) % ms, axis=0
             ).astype(a.dtype)
-        return pltpu.roll(a, shift=(-d) % MS, axis=0)
+        return pltpu.roll(a, shift=(-d) % ms, axis=0)
 
-    # ---- level 1: conv1, 8 parities; t = i*T1OUT - LEFT + 8s + p --------
+    # ---- level 1: conv1, 8 parities; t = i*t1out - LEFT + 8s + p --------
     # out t needs packed z0 rows t, t+1 -> local indices 8s+p, 8s+p+1
     z1 = []
     for p in range(NPAR):
@@ -231,10 +238,10 @@ def _kernel(
         ).astype(w1_ref.dtype)
         z = dot(w, w1_ref[:]) + b1_ref[:]
         z = lane_norm(z, g1_ref, be1_ref)
-        t = i * T1OUT - LEFT + 8 * rows256 + p
+        t = i * t1out - LEFT + 8 * rows256 + p
         z1.append(jnp.where((t >= 0) & (t < n1), z, 0.0).astype(o_ref.dtype))
 
-    # ---- level 2: conv2, 4 parities; u = i*(T1OUT//2) - LEFT//2 + 4m + q
+    # ---- level 2: conv2, 4 parities; u = i*(t1out//2) - LEFT//2 + 4m + q
     # input t = 2u + dtap (dtap -1..2) -> z1 local 8m + 2q + dtap
     z2 = []
     for q in range(4):
@@ -243,10 +250,10 @@ def _kernel(
         ).astype(w2_ref.dtype)
         z = dot(w, w2_ref[:]) + b2_ref[:]
         z = lane_norm(z, g2_ref, be2_ref)
-        u = i * (T1OUT // 2) - LEFT // 2 + 4 * rows256 + q
+        u = i * (t1out // 2) - LEFT // 2 + 4 * rows256 + q
         z2.append(jnp.where((u >= 0) & (u < n2), z, 0.0).astype(o_ref.dtype))
 
-    # ---- level 3: conv3, 2 parities; v = i*(T1OUT//4) - LEFT//4 + 2m + r
+    # ---- level 3: conv3, 2 parities; v = i*(t1out//4) - LEFT//4 + 2m + r
     z3 = []
     for rr in range(2):
         w = jnp.concatenate(
@@ -254,19 +261,19 @@ def _kernel(
         ).astype(w3_ref.dtype)
         z = dot(w, w3_ref[:]) + b3_ref[:]
         z = lane_norm(z, g3_ref, be3_ref)
-        v = i * (T1OUT // 4) - LEFT // 4 + 2 * rows256 + rr
+        v = i * (t1out // 4) - LEFT // 4 + 2 * rows256 + rr
         z3.append(jnp.where((v >= 0) & (v < n3), z, 0.0).astype(o_ref.dtype))
 
-    # ---- level 4: conv4 dense; w_out = i*T4OUT - LEFT//8 + m ------------
+    # ---- level 4: conv4 dense; w_out = i*t4out - LEFT//8 + m ------------
     w = jnp.concatenate(
         [tap(z3, 2, dtap) for dtap in range(-1, 3)], axis=-1
     ).astype(w4_ref.dtype)
     z4 = dot(w, w4_ref[:]) + b4_ref[:]
     z4 = lane_norm(z4, g4_ref, be4_ref)
 
-    # output rows m: w_out = i*T4OUT - LEFT//8 + m; keep m = 1 .. T4OUT
+    # output rows m: w_out = i*t4out - LEFT//8 + m; keep m = 1 .. t4out
     # (LEFT//8 == 1 left-halo row)
-    o_ref[0] = z4[1 : 1 + T4OUT].astype(o_ref.dtype)
+    o_ref[0] = z4[1 : 1 + t4out].astype(o_ref.dtype)
 
 
 def _prep_stack_weights(enc: Params, dtype):
@@ -338,7 +345,7 @@ def _selection_matrix(dtype):
     return jnp.asarray(g, dtype)
 
 
-def _input_rows(x: jax.Array, n_tiles: int) -> jax.Array:
+def _input_rows(x: jax.Array, n_tiles: int, t1out: int, ms: int) -> jax.Array:
     """(R, n) -> (R, W, 256): overlapping raw-sample rows, row S holding
     samples [160*S, 160*S + 256) — every tap of window row S lives in row
     S (see _selection_matrix); the expand itself happens in-kernel on the
@@ -349,7 +356,7 @@ def _input_rows(x: jax.Array, n_tiles: int) -> jax.Array:
     R, n = x.shape
     left = S0 * P1 + P0
     stride = NPAR * PACK * S0  # 160 samples per window row
-    Wrows = (n_tiles - 1) * (T1OUT // NPAR) + MS
+    Wrows = (n_tiles - 1) * (t1out // NPAR) + ms
     L = stride * (Wrows + 1)
     xq = jnp.zeros((R, max(L, stride + left + n)), dtype=x.dtype)
     xq = xq.at[:, stride + left : stride + left + n].set(x)
@@ -368,9 +375,12 @@ def _forward_stack(enc: Params, x: jax.Array) -> jax.Array:
     n2 = _out_len(n1, KU, SU, PU)
     n3 = _out_len(n2, KU, SU, PU)
     n4 = _out_len(n3, KU, SU, PU)
-    n_tiles = _cdiv(n4, T4OUT)
+    t1out = _t1out()
+    t4out = t1out // 8       # conv4 outputs per grid step
+    ms = t1out // 8 + 16     # rows per parity array (+ halo, mult of 8)
+    n_tiles = _cdiv(n4, t4out)
 
-    rows = _input_rows(x, n_tiles)
+    rows = _input_rows(x, n_tiles, t1out, ms)
     sel = _selection_matrix(dtype)
     weights = _prep_stack_weights(enc, dtype)
     ns = jnp.asarray([n0 + 2 * P1, n1, n2, n3, n4], dtype=jnp.int32)
@@ -392,16 +402,16 @@ def _forward_stack(enc: Params, x: jax.Array) -> jax.Array:
         num_scalar_prefetch=1,
         grid=(R, n_tiles),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)] + lane_specs,
-        out_specs=pl.BlockSpec((1, T4OUT, C), lambda r, i, *_: (r, i, 0)),
+        out_specs=pl.BlockSpec((1, t4out, C), lambda r, i, *_: (r, i, 0)),
         scratch_shapes=[
-            pltpu.VMEM((2, MS, ROWLEN), dtype),
+            pltpu.VMEM((2, ms, ROWLEN), dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     out = pl.pallas_call(
-        _kernel,
+        functools.partial(_kernel, t1out=t1out, t4out=t4out, ms=ms),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((R, n_tiles * T4OUT, C), dtype),
+        out_shape=jax.ShapeDtypeStruct((R, n_tiles * t4out, C), dtype),
         interpret=jax.default_backend() == "cpu",
     )(ns, rows, sel, *weights)
     return out[:, :n4]

@@ -397,6 +397,10 @@ def _flash_forward(
     block_k = min(block_k, t128)
 
     pad = (-T) % max(block_q, block_k)
+    assert (T + pad) % block_q == 0 and (T + pad) % block_k == 0, (
+        f"block_q={block_q}/block_k={block_k} must both divide the padded "
+        f"length {T + pad} (use power-of-two blocks)"
+    )
     if pad:
         # zero-pad time; padded queries produce garbage rows that we slice off,
         # padded keys are masked by causality (gk > gq for every real query)

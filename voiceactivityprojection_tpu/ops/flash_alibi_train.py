@@ -163,6 +163,10 @@ def _flash_train_forward(q, k, v, slopes, seed, scale, rate,
     block_q = min(block_q, t128)
     block_k = min(block_k, t128)
     pad = (-T) % max(block_q, block_k)
+    assert (T + pad) % block_q == 0 and (T + pad) % block_k == 0, (
+        f"block_q={block_q}/block_k={block_k} must both divide the padded "
+        f"length {T + pad} (use power-of-two blocks)"
+    )
     if pad:
         zp = [(0, 0), (0, 0), (0, pad), (0, 0)]
         q, k, v = (jnp.pad(x, zp) for x in (q, k, v))
@@ -343,6 +347,10 @@ def _flash_train_backward(q, k, v, slopes, seed, out, lse, g, scale, rate,
     block_q = min(block_q, t128)
     block_k = min(block_k, t128)
     pad = (-T) % max(block_q, block_k)
+    assert (T + pad) % block_q == 0 and (T + pad) % block_k == 0, (
+        f"block_q={block_q}/block_k={block_k} must both divide the padded "
+        f"length {T + pad} (use power-of-two blocks)"
+    )
     delta = jnp.sum(
         g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1
     )  # (B, H, T)

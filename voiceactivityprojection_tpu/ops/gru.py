@@ -71,15 +71,18 @@ def gru(
     # hot matmul: whole-sequence input projection on the MXU
     x_proj = x @ params["w_ih"] + params["b_ih"]  # (B, T, 3H)
 
-    use_pallas = impl == "pallas" or (
-        impl == "auto"
-        and jax.default_backend() not in ("cpu",)
-        and hidden % 128 == 0
-    )
-    if use_pallas:
-        from voiceactivityprojection_tpu.ops.gru_pallas import gru_recurrence_pallas
+    if impl in ("pallas", "auto"):
+        from voiceactivityprojection_tpu.ops.gru_pallas import (
+            gru_recurrence_pallas,
+            pallas_gru_supported,
+        )
 
-        return gru_recurrence_pallas(x_proj, params["w_hh"], params["b_hh"], h0)
+        if impl == "pallas" or (
+            jax.default_backend() not in ("cpu",) and pallas_gru_supported(hidden)
+        ):
+            return gru_recurrence_pallas(
+                x_proj, params["w_hh"], params["b_hh"], h0
+            )
 
     def step(h, xp_t):
         h = _gru_gates(xp_t, h, params["w_hh"], params["b_hh"], hidden)

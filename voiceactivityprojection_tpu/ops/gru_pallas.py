@@ -226,17 +226,14 @@ def gru_downsample_fused(
 
 
 def _scan_recurrence(x_proj, w_hh, b_hh, h0):
-    """lax.scan reference recurrence (used for the backward pass)."""
+    """lax.scan reference recurrence (used for the backward pass). Reuses
+    ops/gru.py's gate math so the two paths cannot drift."""
+    from voiceactivityprojection_tpu.ops.gru import _gru_gates
+
     hidden = w_hh.shape[0]
 
     def step(h, xp_t):
-        h_proj = h @ w_hh + b_hh
-        xr, xz, xn = jnp.split(xp_t, 3, axis=-1)
-        hr, hz, hn = jnp.split(h_proj, 3, axis=-1)
-        r = jax.nn.sigmoid(xr + hr)
-        z = jax.nn.sigmoid(xz + hz)
-        n = jnp.tanh(xn + r * hn)
-        h = (1.0 - z) * n + z * h
+        h = _gru_gates(xp_t, h, w_hh, b_hh, hidden)
         return h, h
 
     h_last, ys = jax.lax.scan(step, h0, jnp.swapaxes(x_proj, 0, 1))
@@ -305,5 +302,7 @@ def _vjp_bwd(res, g):
 gru_recurrence_pallas.defvjp(_vjp_fwd, _vjp_bwd)
 
 
-def pallas_gru_supported(batch: int, hidden: int) -> bool:
+def pallas_gru_supported(hidden: int) -> bool:
+    """Kernel tile constraint: H must fill whole 128-wide lanes (batch is
+    padded internally, so it does not constrain support)."""
     return hidden % 128 == 0

@@ -368,7 +368,6 @@ def forward_mono_context_parallel(
     )
     assert va.shape[1] >= t50, (va.shape, t50)
 
-    params_c, wav_c = _compute_cast(params, wav, conf)
     if n_dev == 1:
         from voiceactivityprojection_tpu.models.vap import forward_mono
 
@@ -376,6 +375,7 @@ def forward_mono_context_parallel(
         return {"logits": out["logits"][:, :t50], "vad": va[:, :t50]}
 
     assert 2 * (t50 // n_dev) >= MARGIN_FRAMES, "chunks too small"
+    params_c, wav_c = _compute_cast(params, wav, conf)
     margin = MARGIN_FRAMES * CPC_DOWNSAMPLE
     wav_pad = jnp.pad(wav_c, ((0, 0), (margin, margin)))
 
