@@ -59,6 +59,8 @@ def main() -> None:
             data_conf.test_path,
             audio_duration=data_conf.audio_duration,
             horizon=data_conf.horizon_time,
+            sample_rate=data_conf.sample_rate,
+            frame_hz=data_conf.frame_hz,
         ),
         batch_size=data_conf.batch_size,
         shuffle=False,

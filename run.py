@@ -110,10 +110,11 @@ def main() -> None:
             pad_waveform_for_mesh,
             probs_context_parallel,
         )
+        from voiceactivityprojection_tpu.models.encoder import TOTAL_DOWNSAMPLE
         from voiceactivityprojection_tpu.parallel.mesh import make_mesh
 
         mesh = make_mesh(n_data=len(jax.devices()))
-        t50 = waveform.shape[-1] // 320
+        t50 = waveform.shape[-1] // TOTAL_DOWNSAMPLE
         wav = pad_waveform_for_mesh(jnp.asarray(waveform), mesh.shape["data"])
         out = probs_context_parallel(model.params, wav, model.conf, mesh)
         out = {k: v[:, :t50] if v.ndim >= 2 else v for k, v in out.items()}

@@ -177,3 +177,53 @@ def test_run_cli_context_parallel(model, tmp_path):
     b = np.asarray(outs["plain"]["p_now"])
     n = min(a.shape[1], b.shape[1])
     np.testing.assert_allclose(a[:, :n], b[:, :n], rtol=1e-4, atol=1e-4)
+
+
+def test_extract_single_shot_beyond_chunk_time(model):
+    """Reference parity (vap/extraction.py:13,264-265): audio between one
+    chunk and 160 s runs SINGLE shot — chunking would limit context to the
+    rolling window."""
+    ex = VapExtractor(model, context_time=4.0, step_time=1.0)
+    seconds = 8.0  # > chunk_time (5 s), well under 160 s
+    w = np.random.default_rng(5).normal(size=(2, int(16000 * seconds)))
+    w = (w * 0.1).astype(np.float32)
+    out = ex.extract(w)
+    direct = model.probs(jnp.asarray(w[None]))
+    np.testing.assert_allclose(
+        out["p_now"], np.asarray(direct["p_now"]), atol=1e-6
+    )
+
+
+def test_csv_pads_short_loss_column(model, tmp_path):
+    """The loss column is label-horizon shorter; the CSV keeps full length
+    and zero-pads it (reference run.py json_data_to_df)."""
+    import csv as csv_mod
+
+    ex = VapExtractor(model, context_time=4.0, step_time=1.0)
+    seconds = 6.0
+    w = np.random.default_rng(6).normal(size=(1, 2, int(16000 * seconds)))
+    w = (w * 0.1).astype(np.float32)
+    # no 2 s label horizon in the VAD -> loss column is 100 frames shorter
+    frames = int(seconds * 50)
+    vad = (np.random.default_rng(7).random((1, frames, 2)) < 0.5).astype(
+        np.float32
+    )
+    out = ex.step_extraction(w, vad=vad)
+    assert out["loss"].shape[1] < out["p_now"].shape[1]
+    cpath = tmp_path / "out.csv"
+    ex.save_csv(out, str(cpath))
+    with open(cpath) as f:
+        rows = list(csv_mod.reader(f))
+    assert len(rows) - 1 == out["p_now"].shape[1]  # header + full length
+    li = rows[0].index("loss")
+    assert float(rows[-1][li]) == 0.0  # padded tail
+
+
+def test_chunked_shorter_than_one_chunk(model):
+    """--chunk forced on audio shorter than chunk_time must not crash
+    (starts list would be empty); a single pass is the chunked result."""
+    ex = VapExtractor(model, context_time=4.0, step_time=1.0)
+    w = np.random.default_rng(8).normal(size=(1, 2, 16000 * 3))
+    w = (w * 0.1).astype(np.float32)
+    out = ex.step_extraction(w)
+    assert out["p_now"].shape == (1, 150, 2)

@@ -72,3 +72,39 @@ def test_oversized_request_rejected(server_and_client):
     w = np.zeros((2, 64000), dtype=np.float32)  # 4 s > 2 s chunk
     with pytest.raises(ValueError, match="expected"):
         client.infer(w)
+
+
+def test_malformed_request_does_not_kill_server(server_and_client):
+    """A bad packet (payload/shape mismatch, bad JSON, wrong frame count)
+    must get an error reply — not silently kill the receiver thread."""
+    import json
+
+    server, client = server_and_client
+    ctx = zmq.Context()
+    raw = ctx.socket(zmq.DEALER)
+    raw.connect(f"tcp://localhost:{PORT}")
+    raw.setsockopt(zmq.RCVTIMEO, 30_000)
+    try:
+        # payload shorter than the declared shape
+        hdr = json.dumps({"req_id": 99, "shape": [2, 32000]}).encode()
+        raw.send_multipart([hdr, b"\x00" * 64])
+        h, _ = raw.recv_multipart()
+        assert "error" in json.loads(h)
+
+        # invalid JSON header
+        raw.send_multipart([b"{not json", b""])
+        h, _ = raw.recv_multipart()
+        assert "error" in json.loads(h)
+
+        # wrong frame count
+        raw.send_multipart([b"only-one-frame"])
+        h, _ = raw.recv_multipart()
+        assert "error" in json.loads(h)
+    finally:
+        raw.close(0)
+        ctx.term()
+
+    # server still serves well-formed requests afterwards
+    w = np.random.default_rng(3).normal(size=(2, 32000)).astype(np.float32) * 0.1
+    out = client.infer(w)
+    assert out["p_now"].shape == (100, 2)

@@ -23,7 +23,7 @@ from typing import Dict, Iterator, List, Tuple
 import numpy as np
 
 from voiceactivityprojection_tpu.utils.io import read_json, read_txt
-from voiceactivityprojection_tpu.utils.units import time_to_samples
+from voiceactivityprojection_tpu.utils.units import time_to_frames, time_to_samples
 
 DEFAULT_SWB_ROOT = "/root/reference/dataset_swb"
 
@@ -251,9 +251,14 @@ class BackchannelDataset:
             sample_rate=self.sample_rate,
         )
         if w.shape[0] == 1:
-            w = np.concatenate([w, np.zeros_like(w)], axis=0)
+            from voiceactivityprojection_tpu.ops.audio import mono_to_stereo
 
-        # left-pad if the window starts before the session, right-pad past end
+            w = mono_to_stereo(w)
+
+        # left-pad if the window starts before the session, right-pad past
+        # end: the zero padding puts the backchannel at pre_context seconds
+        # in EVERY window (same placement as the reference's pad_pre,
+        # backchannel/dataset.py:313-339)
         out = np.zeros((2, self.n_samples), dtype=np.float32)
         offset = time_to_samples(
             self.pre_context - (float(utt.start) - start_time), self.sample_rate
@@ -261,11 +266,26 @@ class BackchannelDataset:
         usable = min(w.shape[-1], self.n_samples - offset)
         out[:, offset : offset + usable] = w[:, :usable]
 
+        # reference sample contract (backchannel/dataset.py:344-352):
+        # integer speaker, bc start/end in seconds and frames. Two
+        # deliberate deviations from reference bugs: (a) the reference
+        # assigns bc_start_frame twice — the second is named bc_end_frame
+        # here as clearly intended; (b) when clipped at session start the
+        # reference reports bc_start_time=utt.start although its own
+        # padding places the bc at pre_context — we report the position
+        # that matches the returned waveform
+        rel_bc_start = self.pre_context
+        utt_end = float(utt["end"]) if "end" in utt else float(utt["ends"][-1])
+        utt_duration = utt_end - float(utt.start)
+        hop = 1.0 / self.frame_hz
         return {
             "waveform": out,
-            "bc_start": self.pre_context,
-            "bc_label": utt.get("bc_label", ""),
-            "speaker": utt.get("speaker", ""),
+            "speaker": 0 if str(utt.get("speaker", "A")) == "A" else 1,
+            "bc_start_time": rel_bc_start,
+            "bc_start_frame": time_to_frames(rel_bc_start, hop),
+            "bc_end_time": rel_bc_start + utt_duration,
+            "bc_end_frame": time_to_frames(rel_bc_start + utt_duration, hop),
+            "label": utt.get("bc_label", ""),
             "session": str(utt.session),
             "utt_idx": utt.utt_idx,
         }

@@ -27,9 +27,18 @@ from typing import Dict, Iterator, List
 
 import numpy as np
 
-from voiceactivityprojection_tpu.ops.audio import load_waveform
+import functools
+
+from voiceactivityprojection_tpu.ops.audio import load_waveform, mono_to_stereo
 from voiceactivityprojection_tpu.ops.vad import vad_list_to_onehot, get_vad_list_subset
 from voiceactivityprojection_tpu.utils.io import read_json
+
+
+@functools.lru_cache(maxsize=64)
+def _read_vad_list(path: str):
+    """Sessions are read-only and each yields many windows — parse the
+    (potentially multi-thousand-segment) vad JSON once, not per window."""
+    return read_json(path)
 
 
 class SlidingWindowDataset:
@@ -91,13 +100,13 @@ class SlidingWindowDataset:
             mono=self.mono,  # mixdown for the mono model's 1-channel input
         )
         if x.shape[0] == 1 and not self.mono:
-            x = np.concatenate([x, np.zeros_like(x)], axis=0)
+            x = mono_to_stereo(x)
         if x.shape[-1] < self.n_samples:  # zero-pad ragged session tails
             pad = self.n_samples - x.shape[-1]
             x = np.pad(x, [(0, 0), (0, pad)])
         x = x[:, : self.n_samples]
 
-        vad_list = read_json(w["vad_path"])
+        vad_list = _read_vad_list(w["vad_path"])
         sub = get_vad_list_subset(vad_list, w["start"], w["end"] + self.horizon)
         vad = vad_list_to_onehot(
             sub, duration=self.audio_duration + self.horizon, frame_hz=self.frame_hz
@@ -167,22 +176,44 @@ class VapDataLoader:
             return
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         DONE = object()
+        stop = threading.Event()
+
+        def put(item) -> bool:
+            # blocking put that aborts when the consumer went away — a
+            # consumer breaking out early (limit_batches, early stop) must
+            # not leave the worker blocked on a full queue forever
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def worker():
             try:
                 for b in self._batches():
-                    q.put(b)
+                    if not put(b):
+                        return
             finally:
-                q.put(DONE)
+                put(DONE)
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is DONE:
-                break
-            yield item
-        t.join()
+        try:
+            while True:
+                item = q.get()
+                if item is DONE:
+                    break
+                yield item
+        finally:
+            stop.set()
+            try:  # unblock a worker mid-put
+                while True:
+                    q.get_nowait()
+            except queue.Empty:
+                pass
+            t.join(timeout=5)
 
 
 def write_manifest(rows: List[Dict[str, str]], path: str) -> None:

@@ -189,7 +189,12 @@ class PhraseProbe:
             buckets.setdefault(name, []).append(np.atleast_1d(arr))
 
         for batch in self.dset.batches(self.batch_size):
-            out = model.forward(jnp.asarray(batch["waveform"]))
+            w = jnp.asarray(batch["waveform"])
+            if self.dset.audio_mono:
+                # mono model: (B, 1, n) audio + required VAD conditioning
+                out = model.forward(w, jnp.asarray(batch["vad"]))
+            else:
+                out = model.forward(w)
             probs = get_probs(out["logits"])
             probs = {k: np.asarray(v) for k, v in probs.items()}
             for i in range(len(batch["end"])):

@@ -93,9 +93,10 @@ class BinaryClassMetrics:
     def update(self, probs: np.ndarray, targets: np.ndarray) -> None:
         # reference rounds probs before update (vap/train.py:306-308)
         preds = np.rint(np.asarray(probs)).astype(np.int64).clip(0, 1)
-        targets = np.asarray(targets).astype(np.int64)
-        for t, p in zip(targets.ravel(), preds.ravel()):
-            self.cm[t, p] += 1
+        targets = np.asarray(targets).astype(np.int64).ravel()
+        self.cm += np.bincount(
+            2 * targets + preds.ravel(), minlength=4
+        ).reshape(2, 2)
 
     def reset(self) -> None:
         self.cm[:] = 0

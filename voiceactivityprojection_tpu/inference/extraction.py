@@ -74,7 +74,10 @@ class VapExtractor:
         )
         n = waveform.shape[-1]
         duration = n / self.model.conf.sample_rate
-        if duration <= min(MAX_SINGLE_SHOT_TIME, self.chunk_time):
+        # reference threshold (vap/extraction.py:13,264-265): single shot up
+        # to 160 s, step extraction only beyond — NOT at chunk_time, which
+        # would give frames past 25 s only a rolling 20 s context
+        if duration <= MAX_SINGLE_SHOT_TIME:
             return self._probs_np(waveform, vad=vad)
         return self.step_extraction(waveform, vad=vad)
 
@@ -86,6 +89,10 @@ class VapExtractor:
         sr = self.model.conf.sample_rate
         hz = self.model.conf.frame_hz
         n = waveform.shape[-1]
+        if n <= self.chunk_samples:
+            # shorter than one chunk (e.g. --chunk forced on short audio):
+            # a single full pass IS the chunked result
+            return self._probs_np(waveform, vad=vad)
 
         # chunk start offsets: 0, step, 2*step, ... while start+chunk <= n
         starts = list(range(0, n - self.chunk_samples + 1, self.step_samples))
@@ -161,8 +168,13 @@ class VapExtractor:
     def save_csv(self, out: Dict[str, np.ndarray], path: str) -> None:
         data = self.get_minimal_output(out)
         keys = list(data)
+        # "loss" is horizon (~2 s of label frames) shorter than the other
+        # columns; the reference pads it with 0 to full length instead of
+        # truncating every column (vap/extraction.py json_data_to_df:63-80)
+        n_rows = len(data["p_now"])
+        cols = [data[k] + [0] * (n_rows - len(data[k])) for k in keys]
         with open(path, "w", newline="") as f:
             w = csv.writer(f)
             w.writerow(keys)
-            for row in zip(*(data[k] for k in keys)):
+            for row in zip(*cols):
                 w.writerow(row)

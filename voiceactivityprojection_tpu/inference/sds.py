@@ -154,6 +154,13 @@ class TurnTakingSDS:
     ):
         self.conf = conf or SDSConfig()
         chunk_samples = int(self.conf.chunk_time * self.conf.sample_rate)
+        if chunk_samples % SAMPLES_PER_FRAME:
+            raise ValueError(
+                f"chunk_time={self.conf.chunk_time} is not a whole number of "
+                f"{SAMPLES_PER_FRAME}-sample (20 ms) frames; an external "
+                "source honoring chunk_time would not match the streaming "
+                "hop size"
+            )
         hop_frames = max(chunk_samples // SAMPLES_PER_FRAME, 1)
         self.stream = StreamingVap(
             model, context_time=self.conf.context_time, hop_frames=hop_frames

@@ -112,12 +112,28 @@ class VapServer:
                 try:
                     if not dict(poller.poll(timeout=50)):
                         continue
-                    ident, header, payload = sock.recv_multipart()
+                    frames = sock.recv_multipart()
                 except zmq.ZMQError:
                     return  # socket closed during shutdown
-                h = json.loads(header)
-                wf = np.frombuffer(payload, dtype=np.float32).reshape(h["shape"])
-                if wf.shape[0] != 2 or wf.shape[1] > self.n_samples:
+                try:
+                    # any malformed request (wrong frame count, bad JSON,
+                    # payload/shape mismatch) must not kill the receiver —
+                    # one bad packet would otherwise brick the server
+                    ident, header, payload = frames
+                    h = json.loads(header)
+                    wf = np.frombuffer(payload, dtype=np.float32).reshape(
+                        h["shape"]
+                    )
+                except Exception as e:
+                    if frames:
+                        reply = {"req_id": None,
+                                 "error": f"malformed request: {e}"}
+                        with send_lock:
+                            sock.send_multipart(
+                                [frames[0], json.dumps(reply).encode(), b""]
+                            )
+                    continue
+                if wf.ndim != 2 or wf.shape[0] != 2 or wf.shape[1] > self.n_samples:
                     reply = {"req_id": h.get("req_id"), "error":
                              f"expected (2, <= {self.n_samples}), got {list(wf.shape)}"}
                     with send_lock:

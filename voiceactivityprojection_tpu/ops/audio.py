@@ -43,17 +43,34 @@ def get_audio_info(path: str) -> Dict[str, Any]:
             "num_channels": ch,
             "encoding": "PCM",
         }
-    with wave.open(path, "rb") as w:
-        frames = w.getnframes()
-        sr = w.getframerate()
+    try:
+        with wave.open(path, "rb") as w:
+            frames = w.getnframes()
+            sr = w.getframerate()
+            return {
+                "name": path,
+                "duration": frames / sr,
+                "sample_rate": sr,
+                "num_frames": frames,
+                "bits_per_sample": w.getsampwidth() * 8,
+                "num_channels": w.getnchannels(),
+                "encoding": "PCM",
+            }
+    except wave.Error:
+        # the wave module rejects float wavs (format tag 3); scipy reads
+        # them (whole-file read, but this path is metadata-of-last-resort)
+        from scipy.io import wavfile
+
+        sr, data = wavfile.read(path)
+        ch = 1 if data.ndim == 1 else data.shape[1]
         return {
             "name": path,
-            "duration": frames / sr,
+            "duration": data.shape[0] / sr,
             "sample_rate": sr,
-            "num_frames": frames,
-            "bits_per_sample": w.getsampwidth() * 8,
-            "num_channels": w.getnchannels(),
-            "encoding": "PCM",
+            "num_frames": int(data.shape[0]),
+            "bits_per_sample": data.dtype.itemsize * 8,
+            "num_channels": ch,
+            "encoding": "PCM_FLOAT" if data.dtype.kind == "f" else "PCM",
         }
 
 
@@ -93,7 +110,11 @@ def load_waveform(
     if x is None:
         from scipy.io import wavfile
 
-        sr, data = wavfile.read(path, mmap=True)
+        try:
+            sr, data = wavfile.read(path, mmap=True)
+        except ValueError:
+            # 24-bit PCM has a 3-byte container scipy cannot mmap
+            sr, data = wavfile.read(path)
         if data.ndim == 1:
             data = data[:, None]
         start = int(start_time * sr) if start_time is not None else 0

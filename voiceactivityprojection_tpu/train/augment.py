@@ -141,9 +141,9 @@ def psola_pitch_shift(waveform: np.ndarray, n_semitones: float) -> np.ndarray:
 
 
 class Augmentation:
-    """Randomly apply one augmentation per batch (vap/transforms.py:11-71).
-
-    probability: chance that ANY augmentation is applied to the batch.
+    """Random waveform augmentation (vap/transforms.py:11-71): with
+    `probability`, apply pitch shift / noise / frequency masking / all
+    three, 25% each — mirroring the reference's branch weights.
     """
 
     def __init__(
@@ -162,23 +162,35 @@ class Augmentation:
         self.pitch_mode = pitch_mode
         self.np_rng = np.random.default_rng(seed)
 
+    def _shift(self, waveform: jax.Array) -> jax.Array:
+        # integer semitone steps like the reference's pitch_steps
+        # [-2, -1, 1, 2] (vap/transforms.py:17)
+        semis = float(self.np_rng.integers(1, self.max_pitch + 1)) * (
+            1 if self.np_rng.random() < 0.5 else -1
+        )
+        shift = (
+            psola_pitch_shift if self.pitch_mode == "psola" else naive_pitch_shift
+        )
+        return jnp.asarray(shift(np.asarray(waveform), semis))
+
     def __call__(self, batch: Dict, key: jax.Array) -> Dict:
         if self.np_rng.random() >= self.probability:
             return batch
-        choice = self.np_rng.integers(0, 3)
+        # reference branch weights (vap/transforms.py:58-70): 25% pitch,
+        # 25% noise, 25% freq-mask, 25% ALL THREE (pitch -> mask -> noise)
+        choice = self.np_rng.integers(0, 4)
         out = dict(batch)
+        w = jnp.asarray(batch["waveform"])
         if choice == 0:
-            out["waveform"] = add_gaussian_noise(
-                jnp.asarray(batch["waveform"]), key, self.noise_amplitude
-            )
+            w = self._shift(w)
         elif choice == 1:
-            out["waveform"] = frequency_mask(jnp.asarray(batch["waveform"]), key)
+            w = add_gaussian_noise(w, key, self.noise_amplitude)
+        elif choice == 2:
+            w = frequency_mask(w, key)
         else:
-            semis = float(self.np_rng.uniform(1, self.max_pitch + 1)) * (
-                1 if self.np_rng.random() < 0.5 else -1
-            )
-            shift = (
-                psola_pitch_shift if self.pitch_mode == "psola" else naive_pitch_shift
-            )
-            out["waveform"] = jnp.asarray(shift(np.asarray(batch["waveform"]), semis))
+            k1, k2 = jax.random.split(key)
+            w = self._shift(w)
+            w = frequency_mask(w, k1)
+            w = add_gaussian_noise(w, k2, self.noise_amplitude)
+        out["waveform"] = w
         return out

@@ -241,8 +241,14 @@ class Trainer:
                         {k: np.asarray(v) for k, v in batch.items()}, self.mesh
                     )
                     state, metrics = self.train_step(state, batch, k3)
-                    losses.append(float(metrics["loss"]))
-                train_loss = float(np.mean(losses)) if losses else float("nan")
+                    # keep the DEVICE scalar: float() here would block on a
+                    # host fetch every step (~28 ms tunnel round-trip) and
+                    # stop step n+1 from dispatching behind step n
+                    losses.append(metrics["loss"])
+                train_loss = (
+                    float(np.mean(jax.device_get(losses)))
+                    if losses else float("nan")
+                )
 
                 record = {
                     "epoch": epoch,
