@@ -28,3 +28,25 @@ def test_export_import_roundtrip():
     back = import_vap_state_dict(sd, conf)
     for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(back)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_import_rejects_mismatched_head():
+    """Importing a 256-wide discrete head into a comparative config must
+    raise instead of silently producing garbage probabilities."""
+    import pytest
+    from voiceactivityprojection_tpu.config import VapConfig
+    from voiceactivityprojection_tpu.models.checkpoint import (
+        export_vap_state_dict,
+        import_vap_state_dict,
+    )
+    from voiceactivityprojection_tpu.models.vap import init_vap
+
+    conf = VapConfig(dim=16, encoder_dim=16, channel_layers=1, cross_layers=1)
+    sd = export_vap_state_dict(init_vap(jax.random.key(0), conf))
+    bad = VapConfig(
+        dim=16, encoder_dim=16, channel_layers=1, cross_layers=1,
+        representation="comparative",
+    )
+    with pytest.raises(ValueError, match="vap_head"):
+        import_vap_state_dict(sd, bad)
+    import_vap_state_dict(sd, conf)  # matching config still imports

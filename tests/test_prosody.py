@@ -102,3 +102,16 @@ def test_duration_avg():
     y = duration_avg(x, segs)
     # two segments -> both become ~0.4 s; total stays ~0.8 s
     assert abs(len(y) - len(x)) < SR // 10
+
+
+def test_short_input_no_crash():
+    """Inputs shorter than one 25 ms frame yield one zero-padded frame
+    instead of an IndexError."""
+    import numpy as np
+    from voiceactivityprojection_tpu.ops.prosody import frame_rms, pitch_track
+
+    x = np.random.default_rng(0).normal(size=300).astype(np.float32)
+    r = frame_rms(x)
+    assert r.shape[0] >= 1 and np.isfinite(r).all()
+    f0, voiced = pitch_track(x)
+    assert f0.shape == voiced.shape

@@ -204,6 +204,14 @@ def import_vap_state_dict(sd: Mapping[str, np.ndarray], conf: VapConfig) -> Para
         "w": _j(sd["vap_head.weight"]),
         "b": _j(sd["vap_head.bias"]),
     }
+    head_w = params["vap_head"]["w"]
+    if head_w.shape != (conf.head_dim, conf.dim):
+        raise ValueError(
+            f"vap_head shape {tuple(head_w.shape)} does not match config "
+            f"(head_dim={conf.head_dim} for representation="
+            f"{conf.representation!r}, dim={conf.dim}) — importing a "
+            "mismatched head would silently produce garbage probabilities"
+        )
     return params
 
 

@@ -212,10 +212,15 @@ def apply_encoder_streaming(
     chunk: (B, n) with n a multiple of 320 (one 50 Hz frame = 320 samples).
     Returns (features (B, n/320, C), new state).
 
-    Note: matches the non-streaming path only in steady state — the
-    reference conv stack is symmetrically padded, so the final `p` right-pad
-    columns differ at the signal's very end. Streaming trades that edge
-    effect (<= 3 samples @ 16 kHz) for O(chunk) incremental cost.
+    APPROXIMATE fast path: tails are seeded with max(k - s, p) zeros so
+    every chunk emits exactly n/320 frames (static shapes, one compiled
+    program). Where k - s > p (conv0: 5 vs 3; downsample: 3 vs 4) this
+    shifts each layer's input window by a constant few samples relative to
+    the symmetrically-padded batch forward, so outputs are a close
+    approximation, NOT bit-equal — even in steady state. For bit-exact
+    streaming (the SDS default) use models/encoder_streaming_exact.py,
+    which reproduces batch-forward frames identically via a prime/steady
+    tail pipeline.
     """
     x = chunk[..., None]  # (B, n, 1)
     new_tails = []

@@ -246,7 +246,13 @@ def probs_from_logits(
 ) -> Dict[str, jax.Array]:
     """softmax + entropy + p_now/p_future [+ per-frame loss when labels are
     derivable from vad] (vap/model.py:180-225). Dispatches on the objective
-    representation (discrete / independent / comparative)."""
+    representation (discrete / independent / comparative).
+
+    Deliberate deviation: the reference shadows its ground-truth `vad`
+    argument with the model's own sigmoid VAD (vap/model.py:190), so its
+    "loss" key is always present and always measured against PREDICTED
+    activity. Here the loss appears only when real labels are supplied and
+    is measured against them — the clearly intended semantics."""
     if conf.representation == "discrete":
         probs = jax.nn.softmax(logits, axis=-1)
         ret = {

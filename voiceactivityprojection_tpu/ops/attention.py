@@ -154,6 +154,11 @@ def attention(
     training = dropout_rate > 0.0 and dropout_key is not None
     use_pallas = False
     if impl == "pallas":
+        if return_weights:
+            raise ValueError(
+                "impl='pallas' cannot return attention weights (the flash "
+                "kernel never materializes them); use impl='auto' or 'xla'"
+            )
         use_pallas = True
     elif impl == "auto":
         # measured on v5e at (B=64, H=4, T=1000, bf16) per attention pass:

@@ -30,7 +30,9 @@ import numpy as np
 
 
 def frame_signal(x: np.ndarray, frame_len: int, hop: int) -> np.ndarray:
-    n = 1 + max(0, (len(x) - frame_len)) // hop
+    if len(x) < frame_len:  # short input: one zero-padded frame, not a crash
+        x = np.pad(x, (0, frame_len - len(x)))
+    n = 1 + (len(x) - frame_len) // hop
     idx = np.arange(frame_len)[None, :] + hop * np.arange(n)[:, None]
     return x[idx]
 

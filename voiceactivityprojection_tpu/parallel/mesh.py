@@ -44,8 +44,18 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 def shard_batch(batch: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
     """Place every array in the batch dict with its leading axis sharded
-    over the mesh's "data" axis."""
+    over the mesh's "data" axis.
+
+    Multi-host: each process holds its LOCAL batch slice (numpy); a plain
+    device_put onto a process-spanning sharding is not addressable, so the
+    global array is assembled from the per-process shards instead (the
+    global batch dimension is n_processes x local batch)."""
     sh = batch_sharding(mesh)
+    if jax.process_count() > 1:
+        return {
+            k: jax.make_array_from_process_local_data(sh, np.asarray(v))
+            for k, v in batch.items()
+        }
     return {k: jax.device_put(v, sh) for k, v in batch.items()}
 
 

@@ -21,7 +21,7 @@ import jax
 
 
 @contextlib.contextmanager
-def trace(log_dir: str = "/tmp/vap_trace", with_memory: bool = True):
+def trace(log_dir: str = "/tmp/vap_trace"):
     """Profile the enclosed block: `with trace("dir"): run_step()`."""
     jax.profiler.start_trace(log_dir)
     try:

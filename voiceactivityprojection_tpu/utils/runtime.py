@@ -27,7 +27,12 @@ def setup_runtime(
     platform = platform or os.environ.get("VAP_PLATFORM")
     if platform:
         jax.config.update("jax_platforms", platform)
-    tag = platform or os.environ.get("JAX_PLATFORMS", "default") or "default"
+        tag = platform
+    else:
+        # ask JAX which backend is ACTUALLY selected — the JAX_PLATFORMS
+        # env var is inert under this image's site hook, so deriving the
+        # tag from it could disable the cache while running on TPU
+        tag = jax.default_backend()
     if compilation_cache and tag != "cpu":
         # TPU-only: compiles through the tunnel take minutes and cache well.
         # CPU compiles are fast AND the CPU AOT entries embed machine
