@@ -20,7 +20,6 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
-import jax
 
 from voiceactivityprojection_tpu.utils.runtime import setup_runtime
 
@@ -28,7 +27,7 @@ setup_runtime()
 
 from voiceactivityprojection_tpu.config import VapConfig
 from voiceactivityprojection_tpu.data.dataset import SlidingWindowDataset
-from voiceactivityprojection_tpu.models.vap import VapModel, init_vap
+from voiceactivityprojection_tpu.models.vap import VapModel
 from voiceactivityprojection_tpu.utils.plot import plot_stereo
 
 
@@ -45,17 +44,7 @@ def get_args():
 
 
 def load_model(args) -> VapModel:
-    conf = VapConfig.args_to_conf(args)
-    if args.state_dict:
-        return VapModel.from_torch_state_dict(args.state_dict, conf)
-    model = VapModel(conf, init_vap(jax.random.key(0), conf))
-    if args.checkpoint:
-        from voiceactivityprojection_tpu.models.checkpoint import restore_checkpoint
-
-        model.params = restore_checkpoint(
-            os.path.abspath(args.checkpoint), {"params": model.params}
-        )["params"]
-    return model
+    return VapModel.from_args(args)
 
 
 def sample_figure(model, item):

@@ -19,7 +19,6 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
-import jax
 
 from voiceactivityprojection_tpu.utils.runtime import setup_runtime
 
@@ -27,7 +26,7 @@ setup_runtime()
 
 from voiceactivityprojection_tpu.config import VapConfig
 from voiceactivityprojection_tpu.data.phrases import DEFAULT_PHRASES_ROOT, PhraseDataset
-from voiceactivityprojection_tpu.models.vap import VapModel, init_vap
+from voiceactivityprojection_tpu.models.vap import VapModel
 from voiceactivityprojection_tpu.ops.codebook import get_probs
 from voiceactivityprojection_tpu.utils.plot import plot_phrases_sample
 
@@ -44,17 +43,7 @@ def get_args():
 
 
 def load_model(args) -> VapModel:
-    conf = VapConfig.args_to_conf(args)
-    if args.state_dict:
-        return VapModel.from_torch_state_dict(args.state_dict, conf)
-    model = VapModel(conf, init_vap(jax.random.key(0), conf))
-    if args.checkpoint:
-        from voiceactivityprojection_tpu.models.checkpoint import restore_checkpoint
-
-        model.params = restore_checkpoint(
-            os.path.abspath(args.checkpoint), {"params": model.params}
-        )["params"]
-    return model
+    return VapModel.from_args(args)
 
 
 def sample_figure(model, sample):
@@ -79,7 +68,14 @@ def run_streamlit(args) -> None:
     phrase = st.selectbox("phrase", sorted(df["phrase"].unique()))
     long_short = st.selectbox("length", ["short", "long"])
     gender = st.selectbox("gender", sorted(df["gender"].unique()))
-    idx = st.slider("voice", 0, int(df["phrase_idx"].max()), 0)
+    # the voice range depends on the selected combination — a global max
+    # would let the slider address voices that don't exist for it
+    subset = df[
+        (df["phrase"] == phrase)
+        & (df["long_short"] == long_short)
+        & (df["gender"] == gender)
+    ]
+    idx = st.slider("voice", 0, int(subset["phrase_idx"].max()), 0)
     sample = ds.get_sample(phrase, long_short, gender, idx)
     st.text(sample["audio_path"])
     fig, _ = sample_figure(model, sample)

@@ -44,9 +44,14 @@ def main() -> None:
         horizon=conf.horizon_time,
     )
     counts = np.zeros(conf.n_classes, dtype=np.int64)
-    for i in range(len(ds)):
-        vad = ds[i]["vad"]
-        labels = np.asarray(get_labels(jnp.asarray(vad[None]), conf.bin_frames))
+    # batch windows per dispatch: one device round trip costs ~28 ms over
+    # the dev tunnel, so per-window get_labels would dominate on big corpora
+    BATCH = 256
+    for i in range(0, len(ds), BATCH):
+        vads = np.stack(
+            [ds[j]["vad"] for j in range(i, min(i + BATCH, len(ds)))]
+        )
+        labels = np.asarray(get_labels(jnp.asarray(vads), conf.bin_frames))
         counts += np.bincount(labels.ravel(), minlength=conf.n_classes)
 
     total = int(counts.sum())

@@ -59,7 +59,10 @@ def main() -> None:
         n = int(args.seconds * conf.sample_rate)
         waveform = 0.1 * np.random.default_rng(0).normal(size=(1, 2, n)).astype(np.float32)
 
-    frames = int(args.seconds * conf.frame_hz) + conf.horizon_frames
+    # derive the VAD length from the ACTUAL waveform (an --audio file need
+    # not match --seconds; a mismatch would crash the loss shape check)
+    n_frames_50hz = waveform.shape[-1] * conf.frame_hz // conf.sample_rate
+    frames = n_frames_50hz + conf.horizon_frames
     vad = (np.random.default_rng(1).random((1, frames, 2)) < 0.5).astype(np.float32)
 
     report = {

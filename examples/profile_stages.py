@@ -74,9 +74,12 @@ def main():
     x1 = jnp.asarray(rng.normal(size=(B, T50, 256)), bf)
     x2 = jnp.asarray(rng.normal(size=(B, T50, 256)), bf)
 
-    total = timeit("full forward+probs", lambda w: probs_from_logits(
-        forward(params, w, conf)["logits"],
-        forward(params, w, conf)["vad"], conf)["p_now"], wav)
+    def fwd_probs(w):
+        out = forward(params, w, conf)  # ONE forward; relying on XLA CSE
+        #                                 to dedupe two calls is fragile
+        return probs_from_logits(out["logits"], out["vad"], conf)["p_now"]
+
+    total = timeit("full forward+probs", fwd_probs, wav)
 
     def fwd_only(w):
         out = forward(params, w, conf)

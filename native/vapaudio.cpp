@@ -45,12 +45,12 @@ bool parse_wav_header(FILE* f, WavInfo* info) {
       uint16_t fmt, ch;
       uint32_t sr, byte_rate;
       uint16_t block_align, bits;
-      if (fread(&fmt, 2, 1, f) != 1) return false;
-      fread(&ch, 2, 1, f);
-      fread(&sr, 4, 1, f);
-      fread(&byte_rate, 4, 1, f);
-      fread(&block_align, 2, 1, f);
-      fread(&bits, 2, 1, f);
+      // every field checked: a truncated fmt chunk must fail the parse,
+      // not leave ch/sr/bits uninitialized
+      if (fread(&fmt, 2, 1, f) != 1 || fread(&ch, 2, 1, f) != 1 ||
+          fread(&sr, 4, 1, f) != 1 || fread(&byte_rate, 4, 1, f) != 1 ||
+          fread(&block_align, 2, 1, f) != 1 || fread(&bits, 2, 1, f) != 1)
+        return false;
       if (fmt == 0xFFFE && size >= 40) {  // WAVE_FORMAT_EXTENSIBLE
         uint16_t cb;
         fread(&cb, 2, 1, f);
@@ -72,10 +72,14 @@ bool parse_wav_header(FILE* f, WavInfo* info) {
       have_fmt = true;
     } else if (memcmp(id, "data", 4) == 0) {
       info->data_offset = ftell(f);
-      if (have_fmt && info->channels > 0 && info->bits > 0) {
-        info->n_frames = (long)size / (info->channels * info->bits / 8);
-      }
-      return have_fmt;
+      // a fmt chunk declaring 0 channels/bits/rate would make callers
+      // divide by zero (SIGFPE kills the whole process) — treat as parse
+      // failure so the Python layer falls back / errors cleanly
+      if (!have_fmt || info->channels <= 0 || info->bits < 8 ||
+          info->sample_rate <= 0)
+        return false;
+      info->n_frames = (long)size / (info->channels * info->bits / 8);
+      return true;
     } else {
       fseek(f, (long)(size + (size & 1)), SEEK_CUR);
     }

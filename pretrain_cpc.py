@@ -74,10 +74,24 @@ def main() -> None:
     rng = np.random.default_rng(args.seed)
     log_path = os.path.join(args.out_dir, "cpc_metrics.jsonl")
     t0 = time.time()
+
+    # threaded decode + one-batch prefetch: the WAV decode/resample releases
+    # the GIL in the native library, and loading batch n+1 while the device
+    # runs step n keeps the accelerator from idling on host IO
+    from concurrent.futures import ThreadPoolExecutor
+
+    pool = ThreadPoolExecutor(max_workers=4)
+
+    def load_batch():
+        idx = rng.integers(0, len(ds), size=args.batch_size)
+        items = pool.map(lambda i: ds[int(i)]["waveform"][0, :n_samples], idx)
+        return np.stack(list(items))
+
+    next_batch = pool.submit(load_batch)
     with open(log_path, "a") as logf:
         for it in range(args.steps):
-            idx = rng.integers(0, len(ds), size=args.batch_size)
-            batch = np.stack([ds[int(i)]["waveform"][0, :n_samples] for i in idx])
+            batch = next_batch.result()
+            next_batch = pool.submit(load_batch)
             k_loop, k_step = jax.random.split(k_loop)
             state, aux = step_fn(state, batch, k_step)
             if (it + 1) % args.log_every == 0:

@@ -65,3 +65,31 @@ def test_cpc_training_reduces_loss(setup):
         losses.append(float(aux["cpc_loss"]))
     assert losses[-1] < losses[0] * 0.9, losses[::10]
     assert int(state.step) == 30
+
+
+def test_pretrained_encoder_grafts_into_vap(tmp_path):
+    """The {"encoder": ...} checkpoint written by pretrain_cpc.py must load
+    into fresh VAP params via Trainer.fit(init_encoder_from=...)'s graft
+    (restore with an encoder-only template)."""
+    import numpy as np
+    from voiceactivityprojection_tpu.config import VapConfig
+    from voiceactivityprojection_tpu.models.checkpoint import (
+        restore_checkpoint,
+        save_checkpoint,
+    )
+    from voiceactivityprojection_tpu.models.encoder import init_encoder
+    from voiceactivityprojection_tpu.models.vap import init_vap
+
+    enc = init_encoder(jax.random.key(1), dim=16)
+    path = str(tmp_path / "cpc_encoder")
+    save_checkpoint(path, {"encoder": enc})
+
+    conf = VapConfig(dim=16, encoder_dim=16, channel_layers=1, cross_layers=1)
+    params = init_vap(jax.random.key(0), conf)
+    params["encoder"] = restore_checkpoint(
+        path, {"encoder": params["encoder"]}
+    )["encoder"]
+    np.testing.assert_array_equal(
+        np.asarray(params["encoder"]["gAR"]["w_ih"]),
+        np.asarray(enc["gAR"]["w_ih"]),
+    )

@@ -39,6 +39,9 @@ def get_args() -> argparse.Namespace:
     parser.add_argument("--max_epochs", type=int, default=100)
     parser.add_argument("--resume_from", type=str, default="",
                         help="orbax checkpoint dir to restore params from")
+    parser.add_argument("--init_encoder_from", type=str, default="",
+                        help="pretrain_cpc.py checkpoint dir (cpc_encoder) "
+                             "to graft into fresh VAP params")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--out_dir", type=str, default="runs")
     parser.add_argument("--n_devices", type=int, default=0, help="0 = all")
@@ -73,7 +76,10 @@ def main() -> None:
     )
     print(f"Run: {trainer.name} -> {trainer.out_dir}")
     print(f"Mesh: {dict(trainer.mesh.shape)}")
-    trainer.fit(resume_from=args.resume_from or None)
+    trainer.fit(
+        resume_from=args.resume_from or None,
+        init_encoder_from=args.init_encoder_from or None,
+    )
 
 
 if __name__ == "__main__":

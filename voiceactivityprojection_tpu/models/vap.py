@@ -367,6 +367,28 @@ class VapModel:
         sd = load_torch_state_dict(path)
         return cls(conf, import_vap_state_dict(sd, conf))
 
+    @classmethod
+    def from_args(cls, args, key: Optional[jax.Array] = None) -> "VapModel":
+        """Build from the standard CLI argparse namespace: --vap_* config
+        plus optional --state_dict (torch import) / --checkpoint (orbax).
+        Shared by the analysis/eval CLIs so checkpoint-loading precedence
+        lives in one place."""
+        conf = VapConfig.args_to_conf(args)
+        if getattr(args, "state_dict", ""):
+            return cls.from_torch_state_dict(args.state_dict, conf)
+        model = cls(conf, init_vap(key if key is not None else jax.random.key(0), conf))
+        if getattr(args, "checkpoint", ""):
+            import os
+
+            from voiceactivityprojection_tpu.models.checkpoint import (
+                restore_checkpoint,
+            )
+
+            model.params = restore_checkpoint(
+                os.path.abspath(args.checkpoint), {"params": model.params}
+            )["params"]
+        return model
+
     @property
     def sample_rate(self) -> int:
         return self.conf.sample_rate

@@ -186,9 +186,17 @@ class Trainer:
         return train, val
 
     # ------------------------------------------------------------------
-    def fit(self, resume_from: Optional[str] = None) -> TrainState:
+    def fit(
+        self,
+        resume_from: Optional[str] = None,
+        init_encoder_from: Optional[str] = None,
+    ) -> TrainState:
         """Train; `resume_from` restores params from an orbax checkpoint dir
-        (e.g. <out_dir>/ckpt_last) before the first epoch (SURVEY.md §5.4)."""
+        (e.g. <out_dir>/ckpt_last) before the first epoch (SURVEY.md §5.4).
+        `init_encoder_from` grafts a pretrained encoder subtree (the
+        {"encoder": ...} checkpoint written by pretrain_cpc.py) into fresh
+        VAP params — the in-framework equivalent of the reference loading
+        the downloaded CPC weights (encoder_components.py:371-379)."""
         train_loader, val_loader = self.make_loaders()
         assert train_loader is not None, "data_conf.train_path is required"
 
@@ -198,6 +206,16 @@ class Trainer:
             params = init_vap_mono(jax.random.key(self.seed), self.model_conf)
         else:
             params = init_vap(jax.random.key(self.seed), self.model_conf)
+        if init_encoder_from:
+            from voiceactivityprojection_tpu.models.checkpoint import (
+                restore_checkpoint,
+            )
+
+            params["encoder"] = restore_checkpoint(
+                os.path.abspath(init_encoder_from),
+                {"encoder": params["encoder"]},
+            )["encoder"]
+            print(f"Initialized encoder from {init_encoder_from}")
         if resume_from:
             from voiceactivityprojection_tpu.models.checkpoint import (
                 restore_checkpoint,

@@ -8,6 +8,7 @@ framework works without the native library (e.g. no toolchain).
 from __future__ import annotations
 
 import ctypes
+import math
 import os
 import subprocess
 from typing import Optional, Tuple
@@ -134,6 +135,11 @@ def resample_poly(x: np.ndarray, up: int, down: int) -> Optional[np.ndarray]:
     lib = get_lib()
     if lib is None:
         return None
+    # the C kernel designs a ~20*max(up, down)-tap filter: an unreduced
+    # ratio like (16000, 8000) would build a 320k-tap FIR and effectively
+    # hang — reduce by gcd here so every caller is safe
+    g = math.gcd(int(up), int(down))
+    up, down = int(up) // g, int(down) // g
     x = np.ascontiguousarray(x, dtype=np.float32)
     squeeze = x.ndim == 1
     if squeeze:
