@@ -278,6 +278,15 @@ def export_vap_state_dict(params: Params) -> Dict[str, np.ndarray]:
     if "va_classifier" in params:
         out["va_classifier.weight"] = np.asarray(params["va_classifier"]["w"])
         out["va_classifier.bias"] = np.asarray(params["va_classifier"]["b"])
+    # mono-model VAD conditioning (vap/model.py:308-314)
+    if "va_condition" in params:
+        out["va_condition.weight"] = np.asarray(params["va_condition"]["w"])
+        out["va_condition.bias"] = np.asarray(params["va_condition"]["b"])
+        out["va_cond_ln.weight"] = np.asarray(params["va_cond_ln"]["w"])
+        out["va_cond_ln.bias"] = np.asarray(params["va_cond_ln"]["b"])
+    if "va_cond_history" in params:
+        out["va_cond_history.weight"] = np.asarray(params["va_cond_history"]["w"])
+        out["va_cond_history.bias"] = np.asarray(params["va_cond_history"]["b"])
     out["vap_head.weight"] = np.asarray(params["vap_head"]["w"])
     out["vap_head.bias"] = np.asarray(params["vap_head"]["b"])
     return out
