@@ -163,3 +163,61 @@ def test_full_mono_model_matches_reference(ref_vapgpt):
     np.testing.assert_allclose(
         np.asarray(our_out["logits"]), ref_out["logits"].numpy(), atol=2e-3
     )
+
+
+@needs_ref
+def test_chunked_extraction_matches_reference(ref_vapgpt):
+    """L7 extraction-layer diff: our batched VapExtractor.step_extraction
+    vs the reference's sequential step_extraction (run.py:23-131), both
+    running the SAME weights on the same 36.5 s waveform (ragged tail
+    exercises the omitted-frames re-run)."""
+    from voiceactivityprojection_tpu.config import VapConfig
+    from voiceactivityprojection_tpu.inference.extraction import VapExtractor
+    from voiceactivityprojection_tpu.models.checkpoint import export_vap_state_dict
+    from voiceactivityprojection_tpu.models.vap import VapModel, init_vap
+
+    # run.py -> plot_utils -> phrases.functional needs parselmouth (absent
+    # here; praat is an offline probe, unused by step_extraction) — stub it
+    for name in ("parselmouth", "parselmouth.praat"):
+        sys.modules.setdefault(name, types.ModuleType(name))
+    if not hasattr(sys.modules["parselmouth"], "praat"):
+        sys.modules["parselmouth"].praat = sys.modules["parselmouth.praat"]
+    if not hasattr(sys.modules["parselmouth.praat"], "call"):
+        sys.modules["parselmouth.praat"].call = lambda *a, **k: None
+    if not hasattr(sys.modules["parselmouth"], "Sound"):
+        sys.modules["parselmouth"].Sound = type("Sound", (), {})
+
+    # our repo root also has a run.py — load the REFERENCE one by path
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "ref_run", os.path.join(REF, "run.py")
+    )
+    ref_run = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ref_run)
+
+    conf = VapConfig()
+    params = init_vap(jax.random.key(5), conf)
+    ours = VapModel(conf, params)
+    ex = VapExtractor(ours, context_time=20.0, step_time=5.0, chunk_batch=4)
+
+    sd = {k: torch.from_numpy(np.asarray(v).copy())
+          for k, v in export_vap_state_dict(params).items()}
+    ref = ref_vapgpt.VapGPT(ref_vapgpt.VapConfig())
+    ref.load_state_dict(sd, strict=False)
+    ref = ref.eval()
+
+    rng = np.random.default_rng(4)
+    wav = (rng.normal(size=(1, 2, int(16000 * 36.5))) * 0.1).astype(np.float32)
+
+    with torch.no_grad():
+        out_ref = ref_run.step_extraction(
+            torch.from_numpy(wav), ref, pbar=False
+        )
+    out_ours = ex.step_extraction(wav)
+
+    for key in ("p_now", "p_future", "H"):
+        a = np.asarray(out_ours[key])
+        b = out_ref[key].numpy()
+        assert a.shape == b.shape, (key, a.shape, b.shape)
+        np.testing.assert_allclose(a, b, atol=3e-4, err_msg=key)
