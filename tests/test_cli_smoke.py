@@ -1,0 +1,89 @@
+"""Subprocess smoke tests for every CLI entry point: argument wiring,
+imports, and a minimal end-to-end pass each (small model, tiny limits).
+These catch flag/signature drift the library-level tests cannot see."""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+pytestmark = [pytest.mark.inference, pytest.mark.slow]
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+EXAMPLE_WAV = "/root/reference/example/student_long_female_en-US-Wavenet-G.wav"
+SMALL = [
+    "--vap_dim", "16", "--vap_encoder_dim", "16",
+    "--vap_channel_layers", "1", "--vap_cross_layers", "1",
+]
+
+
+def _run(args, timeout=420, extra_env=None):
+    env = dict(os.environ, VAP_PLATFORM="cpu")
+    env.update(extra_env or {})
+    r = subprocess.run(
+        [sys.executable] + args, cwd=ROOT,
+        capture_output=True, text=True, env=env, timeout=timeout,
+    )
+    assert r.returncode == 0, (args[0], r.stderr[-3000:] or r.stdout[-3000:])
+    return r
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    out = tmp_path_factory.mktemp("corpus")
+    _run([
+        "examples/make_synthetic_corpus.py", "--out", str(out), "--n", "4",
+        "--duration", "30",
+    ])
+    return out
+
+
+def test_train_cli(corpus, tmp_path):
+    _run([
+        "train.py",
+        "--data_train_path", str(corpus / "train.csv"),
+        "--data_val_path", str(corpus / "val.csv"),
+        "--max_epochs", "1", "--limit_batches", "1",
+        "--data_batch_size", "2", "--out_dir", str(tmp_path / "runs"),
+        "--n_devices", "1",  # conftest's 8-device XLA flag leaks into env
+    ] + SMALL)
+
+
+def test_evaluate_cli(corpus, tmp_path):
+    out = tmp_path / "eval"
+    _run([
+        "evaluate.py", "--data_test_path", str(corpus / "val.csv"),
+        "--data_batch_size", "2", "--limit_batches", "1",
+        "--out_dir", str(out),
+    ] + SMALL)
+    assert (out / "metrics.csv").exists()
+
+
+@pytest.mark.skipif(not os.path.exists(EXAMPLE_WAV), reason="no example wav")
+def test_run_sds_cli_wav_playback(tmp_path):
+    _run([
+        "run_sds.py", "--wav", EXAMPLE_WAV, "--max_chunks", "3",
+        "--sds_zmq_port", "0",
+    ] + SMALL)
+
+
+def test_evaluate_phrases_cli(tmp_path):
+    out = tmp_path / "phr"
+    r = _run([
+        "evaluate_phrases.py", "--limit", "2", "--out_dir", str(out),
+        "--permutations", "regular", "flat_f0",
+    ] + SMALL)
+    assert (out / "aggregate.json").exists() or r.stdout
+
+
+def test_pretrain_cpc_cli(corpus, tmp_path):
+    out = tmp_path / "cpc"
+    _run([
+        "pretrain_cpc.py", "--data_train_path", str(corpus / "train.csv"),
+        "--steps", "2", "--batch_size", "2", "--log_every", "1",
+        "--save_every", "2", "--out_dir", str(out), "--window_time", "2.0",
+    ])
+    assert (out / "cpc_encoder").exists()
