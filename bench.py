@@ -23,9 +23,43 @@ from voiceactivityprojection_tpu.utils.runtime import setup_runtime
 setup_runtime()
 
 
+def _probe_device(deadline_s: float = 180.0) -> None:
+    """The axon tunnel can be down for hours, in which case the first
+    dispatch blocks FOREVER in C (no exception). Probe with a trivial op
+    in a daemon thread; if it doesn't finish in time, print an honest
+    error JSON line and hard-exit instead of hanging the driver."""
+    import os
+    import threading
+
+    done = threading.Event()
+
+    def probe():
+        float(jnp.ones((8, 128)).sum())
+        done.set()
+
+    threading.Thread(target=probe, daemon=True).start()
+    if not done.wait(deadline_s):
+        print(
+            json.dumps(
+                {
+                    "metric": "audio_seconds_per_second",
+                    "value": 0.0,
+                    "unit": "audio_s/s",
+                    "vs_baseline": 0.0,
+                    "error": f"device unreachable (probe > {deadline_s:.0f}s; "
+                             "axon tunnel down?)",
+                }
+            ),
+            flush=True,
+        )
+        os._exit(1)
+
+
 def main() -> None:
     from voiceactivityprojection_tpu.config import VapConfig
     from voiceactivityprojection_tpu.models.vap import forward, init_vap, probs_from_logits
+
+    _probe_device()
 
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 64
     chunk_s = 20.0
