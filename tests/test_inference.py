@@ -123,6 +123,26 @@ def test_sds_loop_over_wav(model):
     assert len(probs) == 10
 
 
+@pytest.mark.skipif(not os.path.exists(EXAMPLE_WAV), reason="no example wav")
+def test_sds_loop_kv_mode(model):
+    """KV-cache transformer mode drives the same SDS loop."""
+    conf = SDSConfig(context_time=2.0, chunk_time=0.1, zmq_port=0,
+                     transformer_mode="kv")
+    sds = TurnTakingSDS(model, conf)
+    src = WavSource(EXAMPLE_WAV, chunk_samples=sds.stream.hop_samples)
+    probs = []
+    sds.source = src
+    sds.run(max_chunks=10, log=lambda s: probs.append(s))
+    assert len(probs) == 10
+    vals = [float(p.split("=")[1]) for p in probs]
+    assert all(0.0 <= v <= 1.0 for v in vals)
+
+
+def test_sds_rejects_unknown_transformer_mode(model):
+    with pytest.raises(ValueError):
+        TurnTakingSDS(model, SDSConfig(zmq_port=0, transformer_mode="nope"))
+
+
 def test_run_cli_on_example_wav(model, tmp_path):
     """Drive the run.py CLI end-to-end on the real example wav."""
     if not os.path.exists(EXAMPLE_WAV):

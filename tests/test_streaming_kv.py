@@ -1,0 +1,116 @@
+"""KV-cache streaming: exactness vs the batch forward on prefixes.
+
+The KV streamer (inference/streaming_kv.py) must reproduce the batch
+forward EXACTLY for the first `context_frames` frames (causal attention
+makes earlier rows independent of later ones), then keep producing
+well-formed outputs as the rings roll.
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from voiceactivityprojection_tpu.config import VapConfig
+from voiceactivityprojection_tpu.inference.streaming_kv import KVStreamingVap
+from voiceactivityprojection_tpu.models.transformer import apply_gpt, apply_gpt_stereo
+from voiceactivityprojection_tpu.models.vap import VapModel
+from voiceactivityprojection_tpu.ops.codebook import (
+    entropy_bits,
+    probs_next_speaker_aggregate,
+)
+
+pytestmark = pytest.mark.inference
+
+CONF = VapConfig(dim=16, encoder_dim=16, channel_layers=1, cross_layers=2)
+
+
+@pytest.fixture(scope="module")
+def model():
+    return VapModel.init(jax.random.key(0), CONF)
+
+
+def _batch_oracle(params, feats, conf):
+    """Transformer + heads over (2, T, C) features (the _window_step math,
+    which is itself parity-tested against the reference)."""
+    x1, x2 = feats[:1], feats[1:]
+    o1 = apply_gpt(params["ar_channel"], x1, num_heads=conf.num_heads, attn_impl="xla")
+    o2 = apply_gpt(params["ar_channel"], x2, num_heads=conf.num_heads, attn_impl="xla")
+    out = apply_gpt_stereo(
+        params["ar"], o1["x"], o2["x"], num_heads=conf.num_heads, attn_impl="xla"
+    )
+    v1 = out["x1"] @ params["va_classifier"]["w"].T + params["va_classifier"]["b"]
+    v2 = out["x2"] @ params["va_classifier"]["w"].T + params["va_classifier"]["b"]
+    logits = out["x"] @ params["vap_head"]["w"].T + params["vap_head"]["b"]
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    return {
+        "p_now": probs_next_speaker_aggregate(probs, 0, 1)[0],
+        "p_future": probs_next_speaker_aggregate(probs, 2, 3)[0],
+        "vad": jax.nn.sigmoid(jnp.concatenate([v1, v2], axis=-1))[0],
+        "H": entropy_bits(probs)[0],
+    }
+
+
+def test_kv_matches_batch_on_prefix(model):
+    """Until the ring fills, per-frame KV outputs == batch forward rows."""
+    T = 40
+    rng = np.random.default_rng(0)
+    feats = jnp.asarray(rng.normal(size=(2, T, CONF.dim)).astype(np.float32))
+
+    s = KVStreamingVap(model, context_time=1.0)  # ring = 50 > T
+    s.reset()
+    outs = []
+    # push in uneven chunks to exercise the scan path
+    for lo, hi in ((0, 7), (7, 8), (8, 23), (23, 40)):
+        outs.append(s.push_features(feats[:, lo:hi]))
+    got = {k: jnp.concatenate([o[k] for o in outs], axis=0)
+           for k in ("p_now", "p_future", "vad", "H")}
+
+    want = _batch_oracle(model.params, feats, CONF)
+    for k in ("p_now", "p_future", "vad"):
+        np.testing.assert_allclose(got[k], want[k], rtol=0, atol=2e-5, err_msg=k)
+    np.testing.assert_allclose(got["H"], want["H"], rtol=0, atol=2e-4)
+
+
+def test_kv_rolls_past_context(model):
+    """After the ring fills the streamer keeps emitting valid frames and
+    the newest frame still matches a window recompute at the roll point."""
+    rng = np.random.default_rng(1)
+    s = KVStreamingVap(model, context_time=0.5)  # 25-frame ring
+    s.reset()
+    feats = jnp.asarray(rng.normal(size=(2, 60, CONF.dim)).astype(np.float32))
+    out = s.push_features(feats)
+    p = np.asarray(out["p_now"])
+    assert p.shape == (60, 2)
+    assert np.isfinite(p).all()
+    np.testing.assert_allclose(p.sum(-1), 1.0, atol=1e-5)
+    # frame 24 is the last exact-prefix frame (ring size 25)
+    want = _batch_oracle(model.params, feats[:, :25], CONF)
+    np.testing.assert_allclose(
+        p[24], np.asarray(want["p_now"])[24], rtol=0, atol=2e-5
+    )
+
+
+def test_kv_full_pipeline_matches_model(model):
+    """Waveform in, probabilities out: exact streaming encoder + KV caches
+    reproduce the full batch model on a prefix shorter than the context."""
+    from voiceactivityprojection_tpu.models.vap import forward, probs_from_logits
+
+    rng = np.random.default_rng(2)
+    n_frames = 30
+    w = rng.normal(size=(2, n_frames * 320)).astype(np.float32) * 0.1
+
+    out = forward(model.params, jnp.asarray(w)[None], CONF)
+    want = probs_from_logits(out["logits"], out["vad"], CONF)
+
+    s = KVStreamingVap(model, context_time=2.0, hop_frames=5)
+    s.reset()
+    got = []
+    for i in range(n_frames // 5):
+        got.append(s.push(w[:, i * 5 * 320:(i + 1) * 5 * 320]))
+    p_now = np.concatenate([np.asarray(o["p_now"]) for o in got], axis=0)
+    n = p_now.shape[0]
+    assert n >= 20  # exact encoder lags by its lookahead only
+    np.testing.assert_allclose(
+        p_now, np.asarray(want["p_now"])[0, :n], rtol=0, atol=2e-5
+    )

@@ -247,3 +247,8 @@ class SDSConfig(ArgparseMixin):
     prob_smooth_time: float = 0.5
     audio_device: int = -1
     savefile: str = ""
+    # "window": re-run the transformer over the context window per hop
+    # (StreamingVap); "kv": per-layer K/V caches, O(1) transformer work per
+    # frame (KVStreamingVap — exact vs the batch forward until the context
+    # fills, then per-layer sliding-window attention)
+    transformer_mode: str = "window"

@@ -162,10 +162,27 @@ class TurnTakingSDS:
                 "hop size"
             )
         hop_frames = max(chunk_samples // SAMPLES_PER_FRAME, 1)
-        self.stream = StreamingVap(
-            model, context_time=self.conf.context_time, hop_frames=hop_frames
-        )
+        if self.conf.transformer_mode == "kv":
+            from voiceactivityprojection_tpu.inference.streaming_kv import (
+                KVStreamingVap,
+            )
+
+            self.stream = KVStreamingVap(
+                model, context_time=self.conf.context_time, hop_frames=hop_frames
+            )
+        elif self.conf.transformer_mode == "window":
+            self.stream = StreamingVap(
+                model, context_time=self.conf.context_time, hop_frames=hop_frames
+            )
+        else:
+            raise ValueError(
+                f"transformer_mode must be 'window' or 'kv', "
+                f"got {self.conf.transformer_mode!r}"
+            )
         self.smooth_frames = int(self.conf.prob_smooth_time * self.conf.frame_hz)
+        # kv mode emits only the NEW frames per hop; keep a rolling history
+        # for the 0.5 s smoothing window
+        self._p_history: list = []
         self.source = source
         self.publisher = publisher
         self.recorder = (
@@ -178,6 +195,12 @@ class TurnTakingSDS:
         """One hop: returns p_now for speaker 0 averaged over the last
         prob_smooth_time (sds/run_sds.py:242-243)."""
         out = self.stream.push(chunk)
+        if self.conf.transformer_mode == "kv":
+            self._p_history.extend(np.asarray(out["p_now"])[:, 0].tolist())
+            del self._p_history[: -self.smooth_frames]
+            if not self._p_history:  # encoder still priming: neutral
+                return 0.5
+            return float(np.mean(self._p_history))
         p = np.asarray(out["p_now"])[-self.smooth_frames :, 0]
         return float(p.mean())
 
@@ -189,6 +212,7 @@ class TurnTakingSDS:
         if pub is None and self.conf.zmq_port > 0:
             pub = ZmqPublisher(self.conf.zmq_port, self.conf.zmq_topic)
         self.stream.reset()
+        self._p_history = []
         try:
             for i, chunk in enumerate(source.chunks()):
                 if self.recorder is not None:
