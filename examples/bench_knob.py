@@ -13,6 +13,7 @@ targets:
     encoder       — full encoder forward (VAP_GRU_DS, VAP_CONV_*)
     conv_stack    — whole-stack fused conv kernel (VAP_CONV_T1OUT)
     kv_hop        — KV-cache streaming transformer, 1-frame hop @ 20 s context
+    kv_batch      — same, 64 concurrent streams per dispatch (serving shape)
     window_hop    — window-recompute streaming transformer, same hop
 
 The relevant env knobs are read by the kernels at trace time, so set them
@@ -97,33 +98,35 @@ def make_target(name):
         x = jnp.asarray(rng.normal(size=(128, 320_000)).astype(np.float32) * 0.1, bf)
         f = jax.jit(lambda a: fused_conv_stack(enc, a))
         return (lambda: f(x)), ""
-    if name in ("kv_hop", "window_hop"):
+    if name in ("kv_hop", "kv_batch", "window_hop"):
         # streaming transformer cost per 1-frame hop at the full 20 s
-        # context: per-layer K/V caches vs window recompute
+        # context: per-layer K/V caches (1 or 64 concurrent streams) vs
+        # window recompute
         from voiceactivityprojection_tpu.config import VapConfig
 
         conf = VapConfig()
         params = _params(conf)
         T = 1000
-        feats = jnp.asarray(rng.normal(size=(2, 1, conf.dim)), jnp.float32)
-        if name == "kv_hop":
+        if name == "window_hop":
+            from voiceactivityprojection_tpu.inference.streaming import _window_step
+
+            state = jnp.zeros((2, T, conf.dim), jnp.float32)
+            feats = jnp.asarray(rng.normal(size=(2, 1, conf.dim)), jnp.float32)
+            f = jax.jit(
+                lambda r, nf: _window_step(params, r, nf, conf, 1)[1]["p_now"].sum()
+            )
+        else:
             from voiceactivityprojection_tpu.inference.streaming_kv import (
                 _kv_push,
                 init_kv_state,
             )
 
-            state = init_kv_state(conf, T)
-            state["n"] = jnp.asarray(T, jnp.int32)  # steady state: ring full
+            S = 64 if name == "kv_batch" else 1
+            state = init_kv_state(conf, T, streams=S)
+            state["n"] = jnp.full((S,), T, jnp.int32)  # steady: rings full
+            feats = jnp.asarray(rng.normal(size=(S, 2, 1, conf.dim)), jnp.float32)
             f = jax.jit(
                 lambda s, nf: _kv_push(params, s, nf, conf)[1]["p_now"].sum()
-            )
-        else:
-            from voiceactivityprojection_tpu.inference.streaming import _window_step
-
-            ring = jnp.zeros((2, T, conf.dim), jnp.float32)
-            state = ring
-            f = jax.jit(
-                lambda r, nf: _window_step(params, r, nf, conf, 1)[1]["p_now"].sum()
             )
         return (lambda: f(state, feats)), ""
     raise SystemExit(f"unknown target {name!r}")
@@ -131,7 +134,7 @@ def make_target(name):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("target", choices=["attn_single", "gru", "encoder", "conv_stack", "kv_hop", "window_hop"])
+    ap.add_argument("target", choices=["attn_single", "gru", "encoder", "conv_stack", "kv_hop", "kv_batch", "window_hop"])
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--warmup", type=int, default=8)
     args = ap.parse_args()

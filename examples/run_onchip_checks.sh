@@ -43,7 +43,7 @@ for t1 in 1024 2048 1024 2048; do
   VAP_CONV_T1OUT=$t1 timeout 900 $BK conv_stack
 done
 
-echo "== 7. streaming hop: KV-cache vs window recompute =="
-for t in kv_hop window_hop kv_hop window_hop; do
+echo "== 7. streaming hop: KV-cache (1 and 64 streams) vs window recompute =="
+for t in kv_hop kv_batch window_hop kv_hop kv_batch window_hop; do
   timeout 900 $BK $t --iters 50 --warmup 20
 done

@@ -91,6 +91,61 @@ def test_kv_rolls_past_context(model):
     )
 
 
+def test_batched_streams_match_single(model):
+    """S concurrent streams in one dispatch == S independent streamers."""
+    from voiceactivityprojection_tpu.inference.streaming_kv import BatchedKVStreamer
+
+    S, T = 3, 30
+    rng = np.random.default_rng(3)
+    feats = jnp.asarray(rng.normal(size=(S, 2, T, CONF.dim)).astype(np.float32))
+
+    b = BatchedKVStreamer(model, streams=S, context_time=1.0)
+    got = b.push_features(feats)  # (T, S, ...)
+
+    for s in range(S):
+        single = KVStreamingVap(model, context_time=1.0)
+        single.reset()
+        want = single.push_features(feats[s])
+        np.testing.assert_allclose(
+            np.asarray(got["p_now"])[:, s], np.asarray(want["p_now"]),
+            rtol=0, atol=1e-6, err_msg=f"stream {s}",
+        )
+
+
+def test_reset_stream_mid_batch(model):
+    """Recycling one slot mid-run makes it behave like a fresh stream
+    while the other streams keep their context."""
+    from voiceactivityprojection_tpu.inference.streaming_kv import BatchedKVStreamer
+
+    S = 2
+    rng = np.random.default_rng(4)
+    a = jnp.asarray(rng.normal(size=(S, 2, 10, CONF.dim)).astype(np.float32))
+    c = jnp.asarray(rng.normal(size=(S, 2, 12, CONF.dim)).astype(np.float32))
+
+    b = BatchedKVStreamer(model, streams=S, context_time=1.0)
+    b.push_features(a)
+    b.reset_stream(1)
+    got = b.push_features(c)
+
+    # stream 1 == fresh streamer fed only c[1]
+    fresh = KVStreamingVap(model, context_time=1.0)
+    fresh.reset()
+    want1 = fresh.push_features(c[1])
+    np.testing.assert_allclose(
+        np.asarray(got["p_now"])[:, 1], np.asarray(want1["p_now"]),
+        rtol=0, atol=1e-6,
+    )
+    # stream 0 == continuous streamer fed a[0] then c[0]
+    cont = KVStreamingVap(model, context_time=1.0)
+    cont.reset()
+    cont.push_features(a[0])
+    want0 = cont.push_features(c[0])
+    np.testing.assert_allclose(
+        np.asarray(got["p_now"])[:, 0], np.asarray(want0["p_now"]),
+        rtol=0, atol=1e-6,
+    )
+
+
 def test_kv_full_pipeline_matches_model(model):
     """Waveform in, probabilities out: exact streaming encoder + KV caches
     reproduce the full batch model on a prefix shorter than the context."""

@@ -5,9 +5,18 @@ window per 20 ms hop (sds/run_sds.py:216-241). ``StreamingVap``
 (inference/streaming.py) already makes the encoder incremental but still
 re-runs the transformer over the whole context window each hop. Here the
 transformer is incremental too: every attention site keeps per-layer K/V
-ring buffers (newest frame in the last slot), so each new frame costs one
-attention ROW per site — (1 x T) scores instead of (T x T) — plus one
-frame of LN/FFN/head work.
+ring buffers, so each new frame costs one attention ROW per site —
+(1 x T) scores instead of (T x T) — plus one frame of LN/FFN/head work.
+
+The rings are CIRCULAR (one slot written per frame at a shared rotating
+position) rather than shifted, so per-frame HBM traffic is ~57 KB of
+ring writes per stream instead of rewriting every ring (~56 MB at the
+20 s context). That makes a batched variant practical: all state carries
+a leading STREAM axis, so one dispatch advances S concurrent dialogs one
+frame — the production serving shape for live turn-taking
+(``BatchedKVStreamer``). Streams share the write position but keep
+per-stream valid counts, so an individual stream can be reset (a new
+call joining a running batch) by zeroing its count alone.
 
 Semantics
 ---------
@@ -63,30 +72,35 @@ SAMPLES_PER_FRAME = 320  # 16 kHz / 50 Hz
 # --------------------------------------------------------------------------
 # state
 # --------------------------------------------------------------------------
-def _ring(num_heads: int, T: int, head_dim: int) -> jax.Array:
-    # leading axis 2 = the two speaker channels
-    return jnp.zeros((2, num_heads, T, head_dim), dtype=jnp.float32)
+def _ring(streams: int, num_heads: int, T: int, head_dim: int) -> jax.Array:
+    # axes: (stream, speaker-channel, head, time-slot, head-dim)
+    return jnp.zeros((streams, 2, num_heads, T, head_dim), dtype=jnp.float32)
 
 
-def init_kv_state(conf: VapConfig, context_frames: int) -> Params:
-    """Zeroed K/V rings for every attention site + a frame counter."""
+def init_kv_state(conf: VapConfig, context_frames: int, streams: int = 1) -> Params:
+    """Zeroed K/V rings for every attention site + counters.
+
+    ``steps`` is the shared write cursor (all streams advance in
+    lockstep); ``n`` is the per-stream count of valid frames, so one
+    stream can be reset independently (set its n to 0)."""
     H = conf.num_heads
     Dh = conf.dim // H
     T = context_frames
     return {
-        "n": jnp.zeros((), dtype=jnp.int32),
+        "steps": jnp.zeros((), dtype=jnp.int32),
+        "n": jnp.zeros((streams,), dtype=jnp.int32),
         "ar_channel": [
-            {"k": _ring(H, T, Dh), "v": _ring(H, T, Dh)}
+            {"k": _ring(streams, H, T, Dh), "v": _ring(streams, H, T, Dh)}
             for _ in range(conf.channel_layers)
         ],
         "ar": [
             {
-                "k": _ring(H, T, Dh),
-                "v": _ring(H, T, Dh),
+                "k": _ring(streams, H, T, Dh),
+                "v": _ring(streams, H, T, Dh),
                 # cross rings hold THIS channel's projections of its own
                 # pre-layer value; the other channel's query reads them
-                "ck": _ring(H, T, Dh),
-                "cv": _ring(H, T, Dh),
+                "ck": _ring(streams, H, T, Dh),
+                "cv": _ring(streams, H, T, Dh),
             }
             for _ in range(conf.cross_layers)
         ],
@@ -94,7 +108,7 @@ def init_kv_state(conf: VapConfig, context_frames: int) -> Params:
 
 
 # --------------------------------------------------------------------------
-# single-frame primitives
+# single-frame primitives (all carry a leading stream axis S)
 # --------------------------------------------------------------------------
 def _layer_norm_vec(x: jax.Array, p: Params) -> jax.Array:
     xf = x.astype(jnp.float32)
@@ -105,64 +119,47 @@ def _layer_norm_vec(x: jax.Array, p: Params) -> jax.Array:
 
 
 def _heads(x: jax.Array, num_heads: int) -> jax.Array:
-    # (2, D) -> (2, H, Dh)
-    C, D = x.shape
-    return x.reshape(C, num_heads, D // num_heads)
+    # (..., D) -> (..., H, Dh)
+    return x.reshape(*x.shape[:-1], num_heads, x.shape[-1] // num_heads)
 
 
-def _push_ring(ring: jax.Array, new: jax.Array) -> jax.Array:
-    """Shift the time axis left by one and write `new` into the last slot.
-
-    Keeping the newest frame at a FIXED slot makes the ALiBi bias vector a
-    compile-time constant (distance T-1-j for slot j)."""
-    ring = jnp.roll(ring, -1, axis=2)
-    return ring.at[:, :, -1].set(new)
+def _write_ring(ring: jax.Array, new: jax.Array, pos: jax.Array) -> jax.Array:
+    """Write one (S, 2, H, Dh) frame into time slot `pos` of the ring."""
+    return jax.lax.dynamic_update_slice_in_dim(
+        ring, new[..., None, :], pos, axis=3
+    )
 
 
 def _attn_row(
-    q: jax.Array,      # (2, H, Dh)
-    k_ring: jax.Array,  # (2, H, T, Dh)
+    q: jax.Array,       # (S, 2, H, Dh)
+    k_ring: jax.Array,  # (S, 2, H, T, Dh)
     v_ring: jax.Array,
     slopes: jax.Array,  # (H,)
-    n: jax.Array,       # valid frame count (<= T), newest slot inclusive
+    dist: jax.Array,    # (T,) slot age: 0 = just written
+    n_valid: jax.Array,  # (S,) valid frames per stream (newest inclusive)
     full_dim: int,
 ) -> jax.Array:
-    """One attention row per channel/head over a ring whose newest entry
-    sits at slot T-1. Returns (2, H*Dh)."""
-    T = k_ring.shape[2]
+    """One attention row per stream/channel/head. Returns (S, 2, H*Dh)."""
     scale = 1.0 / math.sqrt(full_dim)  # full-dim quirk (modules.py:52)
     scores = jnp.einsum(
-        "chd,chtd->cht", q, k_ring, preferred_element_type=jnp.float32
+        "schd,schtd->scht", q, k_ring, preferred_element_type=jnp.float32
     ) * scale
-    # relative position of slot j vs the current frame: j - i = -(T-1-j)
-    rel = jnp.arange(T, dtype=jnp.float32) - (T - 1)
-    bias = jax.lax.stop_gradient(slopes).astype(jnp.float32)[:, None] * rel[None, :]
-    scores = scores + bias[None]
-    valid = jnp.arange(T) >= (T - n)
-    scores = jnp.where(valid[None, None, :], scores, -jnp.inf)
+    # relative position j - i of a slot with age d is -d
+    bias = -jax.lax.stop_gradient(slopes).astype(jnp.float32)[:, None] * dist[None, :]
+    scores = scores + bias[None, None]
+    valid = dist[None, :] < n_valid[:, None]  # (S, T)
+    scores = jnp.where(valid[:, None, None, :], scores, -jnp.inf)
     w = jax.nn.softmax(scores, axis=-1).astype(v_ring.dtype)
-    out = jnp.einsum("cht,chtd->chd", w, v_ring)
-    return out.reshape(out.shape[0], -1)
-
-
-def _self_attn_step(
-    mha: Params, z: jax.Array, rings: Params, n: jax.Array,
-    num_heads: int, dim: int,
-) -> Tuple[jax.Array, Params]:
-    q = _heads(z @ mha["query"]["w"].T, num_heads)
-    k = _heads(z @ mha["key"]["w"].T, num_heads)
-    v = _heads(z @ mha["value"]["w"].T, num_heads)
-    k_ring = _push_ring(rings["k"], k)
-    v_ring = _push_ring(rings["v"], v)
-    out = _attn_row(q, k_ring, v_ring, mha["m"], n, dim)
-    return out @ mha["proj"]["w"].T, {"k": k_ring, "v": v_ring}
+    out = jnp.einsum("scht,schtd->schd", w, v_ring)
+    return out.reshape(*out.shape[:-2], -1)
 
 
 def _layer_step(
-    layer: Params, x: jax.Array, rings: Params, n: jax.Array,
+    layer: Params, x: jax.Array, rings: Params,
+    pos: jax.Array, dist: jax.Array, n_valid: jax.Array,
     num_heads: int, dim: int, cross: bool,
 ) -> Tuple[jax.Array, Params]:
-    """One pre-LN transformer layer on a single (2, D) frame pair.
+    """One pre-LN transformer layer on an (S, 2, D) frame batch.
 
     For cross layers, the twin pass (modules.py:278-289) is realized by
     swapping the channel axis of the cross K/V rings: channel 0's query
@@ -170,23 +167,30 @@ def _layer_step(
     new_rings = dict(rings)
     orig = x  # pre-layer value: the cross-attention K/V source
     z = _layer_norm_vec(x, layer["ln_self_attn"])
-    sa, sr = _self_attn_step(layer["mha"], z, rings, n, num_heads, dim)
-    new_rings.update(sr)
-    x = x + sa
+    mha = layer["mha"]
+    q = _heads(z @ mha["query"]["w"].T, num_heads)
+    k_ring = _write_ring(rings["k"], _heads(z @ mha["key"]["w"].T, num_heads), pos)
+    v_ring = _write_ring(rings["v"], _heads(z @ mha["value"]["w"].T, num_heads), pos)
+    new_rings["k"], new_rings["v"] = k_ring, v_ring
+    sa = _attn_row(q, k_ring, v_ring, mha["m"], dist, n_valid, dim)
+    x = x + sa @ mha["proj"]["w"].T
 
     if cross:
         mc = layer["mha_cross"]
         # each channel appends ITS OWN un-normalized pre-layer projections
-        ck = _heads(orig @ mc["key"]["w"].T, num_heads)
-        cv = _heads(orig @ mc["value"]["w"].T, num_heads)
-        ck_ring = _push_ring(rings["ck"], ck)
-        cv_ring = _push_ring(rings["cv"], cv)
-        new_rings["ck"] = ck_ring
-        new_rings["cv"] = cv_ring
+        ck_ring = _write_ring(
+            rings["ck"], _heads(orig @ mc["key"]["w"].T, num_heads), pos
+        )
+        cv_ring = _write_ring(
+            rings["cv"], _heads(orig @ mc["value"]["w"].T, num_heads), pos
+        )
+        new_rings["ck"], new_rings["cv"] = ck_ring, cv_ring
         z = _layer_norm_vec(x, layer["ln_src_attn"])
         q = _heads(z @ mc["query"]["w"].T, num_heads)
-        # read the OTHER channel's ring
-        ca = _attn_row(q, ck_ring[::-1], cv_ring[::-1], mc["m"], n, dim)
+        # read the OTHER channel's ring (swap the channel axis)
+        ca = _attn_row(
+            q, ck_ring[:, ::-1], cv_ring[:, ::-1], mc["m"], dist, n_valid, dim
+        )
         x = x + ca @ mc["proj"]["w"].T
 
     z = _layer_norm_vec(x, layer["ln_ffnetwork"])
@@ -198,22 +202,26 @@ def _layer_step(
 def _frame_step(
     params: Params, state: Params, feats: jax.Array, conf: VapConfig
 ) -> Tuple[Params, Dict[str, jax.Array]]:
-    """Advance all caches by one frame; feats: (2, D)."""
+    """Advance all caches by one frame; feats: (S, 2, D)."""
     H, D = conf.num_heads, conf.dim
-    n = jnp.minimum(state["n"] + 1, state["ar_channel"][0]["k"].shape[2])
+    T = state["ar_channel"][0]["k"].shape[3]
+    pos = jnp.mod(state["steps"], T)
+    n_valid = jnp.minimum(state["n"] + 1, T)
+    # age of slot j after writing at pos: (pos - j) mod T
+    dist = jnp.mod(pos - jnp.arange(T), T).astype(jnp.float32)
 
     x = feats
     ch_rings = []
     for layer, rings in zip(params["ar_channel"]["layers"], state["ar_channel"]):
-        x, r = _layer_step(layer, x, rings, n, H, D, cross=False)
+        x, r = _layer_step(layer, x, rings, pos, dist, n_valid, H, D, cross=False)
         ch_rings.append(r)
 
     st_rings = []
     for layer, rings in zip(params["ar"]["layers"], state["ar"]):
-        x, r = _layer_step(layer, x, rings, n, H, D, cross=True)
+        x, r = _layer_step(layer, x, rings, pos, dist, n_valid, H, D, cross=True)
         st_rings.append(r)
 
-    x1, x2 = x[:1][None], x[1:][None]  # (1, 1, D) each
+    x1, x2 = x[:, :1], x[:, 1:]  # (S, 1, D) each
     combined = apply_combinator(params["ar"]["combinator"], x1, x2)
 
     v1 = x1 @ params["va_classifier"]["w"].T + params["va_classifier"]["b"]
@@ -221,13 +229,18 @@ def _frame_step(
     logits = combined @ params["vap_head"]["w"].T + params["vap_head"]["b"]
     probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
     out = {
-        "p_now": probs_next_speaker_aggregate(probs, 0, 1)[0, 0],
-        "p_future": probs_next_speaker_aggregate(probs, 2, 3)[0, 0],
-        "vad": jax.nn.sigmoid(jnp.concatenate([v1, v2], axis=-1))[0, 0],
-        "H": entropy_bits(probs)[0, 0],
-        "logits": logits[0, 0],
+        "p_now": probs_next_speaker_aggregate(probs, 0, 1)[:, 0],
+        "p_future": probs_next_speaker_aggregate(probs, 2, 3)[:, 0],
+        "vad": jax.nn.sigmoid(jnp.concatenate([v1, v2], axis=-1))[:, 0],
+        "H": entropy_bits(probs)[:, 0],
+        "logits": logits[:, 0],
     }
-    new_state = {"n": state["n"] + 1, "ar_channel": ch_rings, "ar": st_rings}
+    new_state = {
+        "steps": state["steps"] + 1,
+        "n": jnp.minimum(state["n"] + 1, T),
+        "ar_channel": ch_rings,
+        "ar": st_rings,
+    }
     return new_state, out
 
 
@@ -235,19 +248,21 @@ def _frame_step(
 def _kv_push(
     params: Params, state: Params, new_feats: jax.Array, conf: VapConfig
 ) -> Tuple[Params, Dict[str, jax.Array]]:
-    """Scan _frame_step over (2, n_new, C) new feature frames."""
+    """Scan _frame_step over (S, 2, n_new, C) new feature frames.
+
+    Output arrays are stacked (n_new, S, ...)."""
 
     def body(st, f):
         return _frame_step(params, st, f, conf)
 
-    return jax.lax.scan(body, state, jnp.swapaxes(new_feats, 0, 1))
+    return jax.lax.scan(body, state, jnp.moveaxis(new_feats, 2, 0))
 
 
 # --------------------------------------------------------------------------
-# user-facing streamer
+# user-facing streamers
 # --------------------------------------------------------------------------
 class KVStreamingVap:
-    """Incremental stereo VAP with per-layer K/V caches.
+    """Incremental stereo VAP with per-layer K/V caches (single stream).
 
     Usage:
         s = KVStreamingVap(model, context_time=20.0)
@@ -283,7 +298,7 @@ class KVStreamingVap:
             self._enc = ExactStreamingEncoder(self.model.params["encoder"], batch=2)
         else:
             self._enc_state = init_encoder_state(self.model.params["encoder"], batch=2)
-        self.state = init_kv_state(self.conf, self.context_frames)
+        self.state = init_kv_state(self.conf, self.context_frames, streams=1)
         self.frames_seen = 0
 
     def push(self, chunk: np.ndarray) -> Dict[str, jax.Array]:
@@ -299,15 +314,77 @@ class KVStreamingVap:
             new_feats, self._enc_state = apply_encoder_streaming(
                 self.model.params["encoder"], chunk, self._enc_state
             )
-        self.state, out = _kv_push(self.model.params, self.state, new_feats, self.conf)
-        self.frames_seen += new_feats.shape[1]
-        return out
+        return self.push_features(new_feats)
 
     def push_features(self, new_feats: jax.Array) -> Dict[str, jax.Array]:
         """Advance the transformer caches directly from (2, n, C) features
         (used by tests and by pipelines with their own encoder)."""
         if self.state is None:
             self.reset()
-        self.state, out = _kv_push(self.model.params, self.state, new_feats, self.conf)
+        self.state, out = _kv_push(
+            self.model.params, self.state, jnp.asarray(new_feats)[None], self.conf
+        )
         self.frames_seen += new_feats.shape[1]
+        return {k: v[:, 0] for k, v in out.items()}  # drop the stream axis
+
+
+class BatchedKVStreamer:
+    """S concurrent dialogs advanced one hop per dispatch (serving shape).
+
+    All streams hop in lockstep (they share the ring write cursor); a
+    stream can be recycled for a new call with ``reset_stream(i)``, which
+    just zeroes its valid-frame count — its stale ring contents are
+    masked out. Waveform-level pushes run the exact streaming encoder
+    over a (2S)-row batch.
+
+        b = BatchedKVStreamer(model, streams=64, context_time=20.0)
+        out = b.push(chunks)   # (S, 2, hop_frames*320)
+        out["p_now"]           # (n_new, S, 2)
+    """
+
+    def __init__(
+        self,
+        model,
+        streams: int,
+        context_time: float = 20.0,
+        hop_frames: int = 1,
+    ):
+        self.model = model
+        self.conf: VapConfig = model.conf
+        self.streams = streams
+        self.hop_frames = hop_frames
+        self.hop_samples = hop_frames * SAMPLES_PER_FRAME
+        self.context_frames = int(context_time * self.conf.frame_hz)
+        self._enc: Optional[ExactStreamingEncoder] = None
+        self.state: Optional[Params] = None
+
+    def reset(self) -> None:
+        self._enc = ExactStreamingEncoder(
+            self.model.params["encoder"], batch=2 * self.streams
+        )
+        self.state = init_kv_state(self.conf, self.context_frames, self.streams)
+
+    def reset_stream(self, i: int) -> None:
+        """Recycle stream slot i for a new dialog (stale cache is masked)."""
+        if self.state is not None:
+            self.state["n"] = self.state["n"].at[i].set(0)
+
+    def push(self, chunks: np.ndarray) -> Dict[str, jax.Array]:
+        if self.state is None:
+            self.reset()
+        chunks = jnp.asarray(chunks, dtype=jnp.float32)
+        S = self.streams
+        assert chunks.shape == (S, 2, self.hop_samples), (
+            f"expected ({S}, 2, {self.hop_samples}), got {chunks.shape}"
+        )
+        feats = self._enc.push(chunks.reshape(2 * S, self.hop_samples))
+        feats = feats.reshape(S, 2, *feats.shape[1:])  # (S, 2, n_new, C)
+        return self.push_features(feats)
+
+    def push_features(self, new_feats: jax.Array) -> Dict[str, jax.Array]:
+        if self.state is None:
+            self.reset()
+        self.state, out = _kv_push(
+            self.model.params, self.state, jnp.asarray(new_feats), self.conf
+        )
         return out
