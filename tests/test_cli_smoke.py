@@ -87,3 +87,29 @@ def test_pretrain_cpc_cli(corpus, tmp_path):
         "--save_every", "2", "--out_dir", str(out), "--window_time", "2.0",
     ])
     assert (out / "cpc_encoder").exists()
+
+
+def test_serve_cli_stream_mode():
+    """serve.py --mode stream: open a session, push one hop, get frames."""
+    port = 5597
+    env = dict(os.environ, VAP_PLATFORM="cpu")
+    proc = subprocess.Popen(
+        [sys.executable, "serve.py", "--mode", "stream", "--port", str(port),
+         "--streams", "2", "--context_time", "1.0", "--hop_frames", "5"]
+        + SMALL,
+        cwd=ROOT, stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env,
+    )
+    try:
+        from voiceactivityprojection_tpu.inference.server import VapStreamClient
+
+        c = VapStreamClient(port=port, timeout_s=180)
+        assert c.open() == 0
+        assert c.hop_samples == 5 * 320
+        out = c.push(np.zeros((2, c.hop_samples), dtype=np.float32))
+        assert "p_now" in out and out["p_now"].shape[-1] == 2
+        out = c.push(np.zeros((2, c.hop_samples), dtype=np.float32))
+        assert out["p_now"].shape == (5, 2)  # steady hop: 5 new frames
+        c.close()
+    finally:
+        proc.terminate()
+        proc.wait(timeout=30)

@@ -187,6 +187,261 @@ class VapServer:
         self.queue.put(None)
 
 
+class VapStreamServer:
+    """Streaming session server: S live dialogs on one device.
+
+    Built on ``BatchedKVStreamer`` (inference/streaming_kv.py): each tick
+    advances ALL sessions one hop in a single dispatch — O(1) transformer
+    work per frame per stream. Protocol (ROUTER, multipart
+    [ident, header-json, payload]):
+
+      {"op": "open"}                    -> {"session": i, "hop_samples": n}
+      {"op": "push", "session": i} + (2, hop_samples) f32 bytes
+                                        -> {"keys", "shapes"} + outputs for
+                                           the NEW frames of that session
+      {"op": "close", "session": i}     -> {"closed": i}
+
+    A tick fires when every active session has a pending chunk, or
+    ``max_wait_ms`` after the first pending chunk arrived; sessions that
+    miss the deadline are advanced with SILENCE (zeros) and counted in
+    ``stats["underruns"]`` — live audio cannot pause for a slow client.
+    """
+
+    def __init__(
+        self,
+        model,
+        streams: int = 16,
+        context_time: float = 20.0,
+        hop_frames: int = 1,
+        max_wait_ms: float = 15.0,
+        outputs: tuple = ("p_now", "p_future", "vad", "H"),
+    ):
+        from voiceactivityprojection_tpu.inference.streaming_kv import (
+            BatchedKVStreamer,
+        )
+
+        self.model = model
+        self.streams = streams
+        self.streamer = BatchedKVStreamer(
+            model, streams=streams, context_time=context_time,
+            hop_frames=hop_frames,
+        )
+        self.hop_samples = self.streamer.hop_samples
+        self.max_wait_s = max_wait_ms / 1000.0
+        self.outputs = outputs
+        self.sessions: Dict[int, bytes] = {}  # slot -> client ident
+        self.pending: Dict[int, tuple] = {}   # slot -> (req_id, chunk)
+        self._lock = threading.Lock()
+        self._work = threading.Event()
+        self._stop = threading.Event()
+        self.stats = {"ticks": 0, "pushes": 0, "underruns": 0}
+
+    # ------------------------------------------------------------------
+    def _tick(self) -> Dict[int, tuple]:
+        """Advance every slot one hop; returns {slot: (req_id, outputs)}."""
+        with self._lock:
+            todo = dict(self.pending)
+            self.pending.clear()
+            active = dict(self.sessions)
+        chunks = np.zeros((self.streams, 2, self.hop_samples), dtype=np.float32)
+        for slot, (_, chunk) in todo.items():
+            chunks[slot] = chunk
+        self.stats["underruns"] += sum(
+            1 for slot in active if slot not in todo
+        )
+        out = self.streamer.push(chunks)
+        out = {k: np.asarray(v) for k, v in out.items() if k in self.outputs}
+        self.stats["ticks"] += 1
+        return {
+            slot: (req_id, {k: v[:, slot] for k, v in out.items()})
+            for slot, (req_id, _) in todo.items()
+        }
+
+    def serve(self, port: int = 5595, ready_event: Optional[threading.Event] = None):
+        import zmq
+
+        self.streamer.reset()
+        ctx = zmq.Context()
+        sock = ctx.socket(zmq.ROUTER)
+        sock.bind(f"tcp://*:{port}")
+        poller = zmq.Poller()
+        poller.register(sock, zmq.POLLIN)
+        send_lock = threading.Lock()
+        if ready_event is not None:
+            ready_event.set()
+
+        def reply(ident, header: dict, payload: bytes = b""):
+            with send_lock:
+                sock.send_multipart([ident, json.dumps(header).encode(), payload])
+
+        def receiver():
+            while not self._stop.is_set():
+                try:
+                    if not dict(poller.poll(timeout=50)):
+                        continue
+                    ident, header, payload = sock.recv_multipart()
+                except (zmq.ZMQError, ValueError):
+                    if self._stop.is_set():
+                        return
+                    continue
+                try:
+                    h = json.loads(header)
+                    op = h.get("op")
+                    if op == "open":
+                        with self._lock:
+                            free = [i for i in range(self.streams)
+                                    if i not in self.sessions]
+                            if not free:
+                                reply(ident, {"req_id": h.get("req_id"),
+                                              "error": "no free stream slots"})
+                                continue
+                            slot = free[0]
+                            self.sessions[slot] = ident
+                        self.streamer.reset_stream(slot)
+                        reply(ident, {"req_id": h.get("req_id"), "session": slot,
+                                      "hop_samples": self.hop_samples})
+                    elif op == "push":
+                        slot = int(h["session"])
+                        chunk = np.frombuffer(payload, dtype=np.float32).reshape(
+                            2, self.hop_samples
+                        )
+                        with self._lock:
+                            if self.sessions.get(slot) != ident:
+                                reply(ident, {"req_id": h.get("req_id"),
+                                              "error": f"session {slot} not yours"})
+                                continue
+                            self.pending[slot] = (h.get("req_id"), chunk)
+                        self.stats["pushes"] += 1
+                        self._work.set()
+                    elif op == "close":
+                        slot = int(h["session"])
+                        with self._lock:
+                            self.sessions.pop(slot, None)
+                            self.pending.pop(slot, None)
+                        reply(ident, {"req_id": h.get("req_id"), "closed": slot})
+                    else:
+                        reply(ident, {"req_id": h.get("req_id"),
+                                      "error": f"unknown op {op!r}"})
+                except Exception as e:  # one bad packet must not kill serving
+                    reply(ident, {"req_id": None, "error": f"malformed: {e}"})
+
+        rt = threading.Thread(target=receiver, daemon=True)
+        rt.start()
+        try:
+            while not self._stop.is_set():
+                if not self._work.wait(timeout=0.05):
+                    continue
+                # deadline: let the rest of the cohort arrive
+                deadline = time.time() + self.max_wait_s
+                while time.time() < deadline:
+                    with self._lock:
+                        if (self.sessions
+                                and len(self.pending) >= len(self.sessions)):
+                            break
+                    time.sleep(0.001)
+                self._work.clear()
+                with self._lock:
+                    if not self.pending:
+                        continue  # spurious wake: never tick on silence only
+                replies = self._tick()
+                for slot, (req_id, res) in replies.items():
+                    header = {
+                        "req_id": req_id,
+                        "session": slot,
+                        "keys": list(res),
+                        "shapes": {k: list(v.shape) for k, v in res.items()},
+                    }
+                    payload = b"".join(
+                        np.ascontiguousarray(res[k], dtype=np.float32).tobytes()
+                        for k in res
+                    )
+                    with self._lock:
+                        ident = self.sessions.get(slot)
+                    if ident is not None:
+                        reply(ident, header, payload)
+        finally:
+            self._stop.set()
+            rt.join(timeout=2)
+            sock.close(0)
+            ctx.term()
+
+    def start(self, port: int = 5595) -> threading.Thread:
+        ready = threading.Event()
+        t = threading.Thread(target=self.serve, args=(port, ready), daemon=True)
+        t.start()
+        ready.wait(timeout=10)
+        return t
+
+    def stop(self):
+        self._stop.set()
+        self._work.set()
+
+
+class VapStreamClient:
+    """Client for ``VapStreamServer``: open a session, push hops, read the
+    per-hop outputs for the new frames."""
+
+    def __init__(self, port: int = 5595, host: str = "localhost",
+                 timeout_s: float = 60.0):
+        import zmq
+
+        self.ctx = zmq.Context()
+        self.sock = self.ctx.socket(zmq.DEALER)
+        self.sock.connect(f"tcp://{host}:{port}")
+        self.sock.setsockopt(zmq.RCVTIMEO, int(timeout_s * 1000))
+        self.session: Optional[int] = None
+        self.hop_samples: Optional[int] = None
+        self._next_id = 0
+
+    def _recv(self):
+        parts = self.sock.recv_multipart()
+        h = json.loads(parts[0])
+        if "error" in h:
+            raise ValueError(h["error"])
+        return h, (parts[1] if len(parts) > 1 else b"")
+
+    def open(self) -> int:
+        self.sock.send_multipart(
+            [json.dumps({"op": "open", "req_id": self._next_id}).encode(), b""]
+        )
+        self._next_id += 1
+        h, _ = self._recv()
+        self.session = int(h["session"])
+        self.hop_samples = int(h["hop_samples"])
+        return self.session
+
+    def push(self, chunk: np.ndarray) -> Dict[str, np.ndarray]:
+        chunk = np.ascontiguousarray(chunk, dtype=np.float32)
+        header = {"op": "push", "session": self.session, "req_id": self._next_id}
+        self._next_id += 1
+        self.sock.send_multipart([json.dumps(header).encode(), chunk.tobytes()])
+        h, payload = self._recv()
+        out: Dict[str, np.ndarray] = {}
+        offset = 0
+        for k in h["keys"]:
+            shape = h["shapes"][k]
+            size = int(np.prod(shape))
+            out[k] = np.frombuffer(
+                payload, dtype=np.float32, count=size, offset=offset * 4
+            ).reshape(shape)
+            offset += size
+        return out
+
+    def close(self):
+        if self.session is not None:
+            try:
+                self.sock.send_multipart(
+                    [json.dumps({"op": "close", "session": self.session}).encode(),
+                     b""]
+                )
+                self._recv()
+            except Exception:
+                pass
+            self.session = None
+        self.sock.close(0)
+        self.ctx.term()
+
+
 class VapClient:
     def __init__(self, port: int = 5590, host: str = "localhost", timeout_s: float = 60.0):
         import zmq
