@@ -24,13 +24,9 @@ done
 echo "== 4. bench sanity =="
 timeout 1200 python bench.py
 
-echo "== 5. GRU+downsample fused epilogue A/B (VAP_GRU_DS) =="
+echo "== 5. GRU+downsample fused epilogue A/B (VAP_GRU_DS; fused is default) =="
 for mode in off fused off fused; do
-  if [ "$mode" = fused ]; then
-    VAP_GRU_DS=fused timeout 900 $BK encoder
-  else
-    timeout 900 $BK encoder
-  fi
+  VAP_GRU_DS=$mode timeout 900 $BK encoder
 done
 
 echo "== 5b. combined knobs: VAP_GRU_DS=fused x VAP_GRU_GROUPS=2/4 =="

@@ -138,9 +138,12 @@ def apply_encoder(
         waveform = waveform[:, 0]
     x = waveform[..., None]  # (B, n, 1)
     z = _conv_stack(params, x, fused_auto=fused_auto)
-    # opt-in fused GRU+downsample epilogue kernel (VAP_GRU_DS=fused, TPU):
-    # the (B, T, H) GRU output is only consumed by the downsample here, so
-    # the fusion keeps it out of HBM entirely (pending on-chip A/B).
+    # fused GRU+downsample epilogue kernel (TPU default; VAP_GRU_DS=off
+    # opts out): the (B, T, H) GRU output is only consumed by the
+    # downsample here, so the fusion keeps it out of HBM entirely.
+    # On-chip A/B (v5e, B=64 bf16 encoder stage): 34.7-35.1 ms fused vs
+    # 35.0-35.4 unfused, consistent across repeats; outputs match the
+    # unfused path (2e-6 f32, mixed-precision-level in bf16).
     # Gated on fused_auto — the kernel has no VJP, and fused_auto is the
     # caller's "no grad flows through the encoder" signal (inference or
     # frozen encoder), exactly like the fused conv stack above.
@@ -150,7 +153,7 @@ def apply_encoder(
     hidden = g["w_hh"].shape[0]
     if (
         fused_auto
-        and os.environ.get("VAP_GRU_DS") == "fused"
+        and os.environ.get("VAP_GRU_DS", "fused") == "fused"
         and jax.default_backend() not in ("cpu",)
         and hidden % 128 == 0
         and z.shape[1] % 2 == 0

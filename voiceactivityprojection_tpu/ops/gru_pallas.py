@@ -166,7 +166,13 @@ def _gru_ds_kernel(
         mu = acc.mean(-1, keepdims=True)
         var = ((acc - mu) ** 2).mean(-1, keepdims=True)
         y = (acc - mu) * jax.lax.rsqrt(var + 1e-5) * g_ref[:] + be_ref[:]
-        o_ref[j] = jax.nn.gelu(y, approximate=False).astype(o_ref.dtype)
+        # GELU is applied OUTSIDE the kernel: Mosaic TPU lowers neither
+        # erfc (jax.nn.gelu's path) nor erf in-kernel, and the exact-erf
+        # GELU must stay bit-identical to the unfused path. The post-LN
+        # output here is already 2x downsampled (100x smaller than the
+        # GRU sequence the fusion keeps out of HBM), so one XLA
+        # elementwise pass over it costs ~nothing.
+        o_ref[j] = y.astype(o_ref.dtype)
 
     for i in range(4):
         tail_scr[i] = ext[TIME_BLOCK + i].astype(tail_scr.dtype)
@@ -222,7 +228,10 @@ def gru_downsample_fused(
         xp_tm, w_hh, b_hh.reshape(1, threeH), h0, wd,
         b_d.reshape(1, H), ln_w.reshape(1, H), ln_b.reshape(1, H),
     )
-    return jnp.swapaxes(o_tm, 0, 1)[:B, : T // 2]
+    out = jnp.swapaxes(o_tm, 0, 1)[:B, : T // 2]
+    # exact-erf GELU outside the kernel (Mosaic lowers neither erf nor
+    # erfc in-kernel); XLA fuses it into the copy of the small output.
+    return jax.nn.gelu(out, approximate=False)
 
 
 def _scan_recurrence(x_proj, w_hh, b_hh, h0):
