@@ -14,6 +14,13 @@ accepting that lookahead (~153 samples ≈ 9.6 ms) as latency:
   and each push emits hop_frames frames — bit-identical to the batch
   forward's frames at the same indices.
 
+CAVEAT (TPU defaults): "bit-identical" holds vs the UNFUSED batch path
+(`VAP_GRU_DS=off`, or any CPU run). With the TPU-default fused
+GRU+downsample epilogue (`ops/gru_pallas.py` `gru_downsample_fused`) the
+batch forward's epilogue math is reassociated inside the kernel and
+differs from the unfused math this streaming path uses by ~2e-6 f32
+(mixed-precision-level; measured in the on-chip A/B, ROADMAP.md #5).
+
 Tail lengths (kernel k, stride s, pad p; chunk multiple of 320 samples):
 
   layer        k  s  p   prime-len  steady-len

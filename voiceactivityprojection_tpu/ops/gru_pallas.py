@@ -107,8 +107,10 @@ def _gru_ds_kernel(
     hidden: int,
     groups: int,
 ):
-    """GRU recurrence + CAUSAL downsample conv (k=5, s=2) + LayerNorm +
-    GELU in one kernel: the (B, T, H) GRU output — consumed ONLY by the
+    """GRU recurrence + CAUSAL downsample conv (k=5, s=2) + LayerNorm in
+    one kernel (the exact-erf GELU is applied by the
+    `gru_downsample_fused` wrapper because Mosaic lowers neither erf nor
+    erfc in-kernel): the (B, T, H) GRU output — consumed ONLY by the
     downsample in the batch forward (models/encoder.py apply_encoder) —
     never touches HBM. In the kernel's time-major layout each conv tap is
     a whole (Bp, H) plane, so the stride-2 window is 5 plane-matmuls per
