@@ -178,6 +178,80 @@ def import_cpc_checkpoint(sd: Mapping[str, np.ndarray]) -> Params:
     }
 
 
+# architecture-relevant fields of the CPC argparse-namespace config and
+# their defaults (encoder_components.py:196-360 get_default_cpc_config).
+# The on-disk libri-light blob is {"config": vars(namespace), "weights":
+# state_dict}; load_CPC overrides these defaults from checkpoint["config"]
+# (encoder_components.py:371-402). Non-architecture fields (lr, betas,
+# sizeWindow, ...) are ignored here.
+CPC_ARCH_DEFAULTS: Dict[str, Any] = {
+    "hiddenEncoder": 256,
+    "hiddenGar": 256,
+    "arMode": "LSTM",      # the real 60k blob's config selects "GRU"
+    "nLevelsGRU": 1,
+    "normMode": "layerNorm",
+    "encoder_type": "cpc",
+    "cpc_mode": None,      # "reverse" flips the sequence (CPCAR.forward)
+    "samplingType": "samespeaker",  # "sequential" => keepHidden=True
+}
+
+
+def load_cpc_blob(path: str) -> Params:
+    """`load_CPC`-equivalent import of a libri-light-format CPC blob.
+
+    Reads the exact on-disk format of the published checkpoint
+    (encoder_components.py:371-402): a torch-pickled
+    ``{"config": <dict of the training argparse namespace>, "weights":
+    <CPCModel state dict>}``. The config namespace is applied over the
+    defaults exactly like ``loadArgs`` does; weights load tolerantly
+    (``strict=False`` analog — extra keys such as the CPC prediction
+    network are ignored). Returns the partial encoder pytree
+    ``{"gEncoder": ..., "gAR": ...}`` ready to graft into VAP params
+    (the learned downsample is VAP-side and stays freshly initialized,
+    vap/encoder.py:26-38).
+    """
+    import torch
+
+    blob = torch.load(path, map_location="cpu", weights_only=False)
+    if not isinstance(blob, dict) or "weights" not in blob:
+        raise ValueError(f"{path}: not a CPC checkpoint blob "
+                         "(expected {'config': ..., 'weights': ...})")
+    cfg = dict(CPC_ARCH_DEFAULTS)
+    cfg.update(blob.get("config", {}))
+
+    # guard-rails: the VAP encoder contract is the GRU/layerNorm/cpc
+    # architecture of the published 60k blob; refuse silently-wrong imports
+    if cfg["arMode"] not in ("GRU",):
+        raise ValueError(
+            f"CPC blob arMode={cfg['arMode']!r}: only the GRU autoregressive "
+            "network is supported (the libri-light 60k blob selects GRU)"
+        )
+    if cfg["encoder_type"] != "cpc" or cfg["normMode"] != "layerNorm":
+        raise ValueError(
+            f"unsupported CPC encoder_type={cfg['encoder_type']!r} / "
+            f"normMode={cfg['normMode']!r} (expected cpc / layerNorm)"
+        )
+    if int(cfg["nLevelsGRU"]) != 1:
+        raise ValueError(f"nLevelsGRU={cfg['nLevelsGRU']}: only 1 supported")
+    if cfg["cpc_mode"] == "reverse":
+        raise ValueError("cpc_mode='reverse' (flipped sequences) not supported")
+    if cfg["samplingType"] == "sequential":
+        # CPCAR(keepHidden=True) carries GRU state across forwards — the
+        # functional VAP forward resets state per call, so refuse
+        raise ValueError("samplingType='sequential' (keepHidden) not supported")
+    if int(cfg["hiddenEncoder"]) != 256 or int(cfg["hiddenGar"]) != 256:
+        raise ValueError(
+            f"hiddenEncoder={cfg['hiddenEncoder']} hiddenGar={cfg['hiddenGar']}"
+            " do not match the VAP encoder contract (256/256)"
+        )
+
+    weights = {
+        k: v.numpy() if hasattr(v, "numpy") else np.asarray(v)
+        for k, v in blob["weights"].items()
+    }
+    return import_cpc_checkpoint(weights)
+
+
 def import_vap_state_dict(sd: Mapping[str, np.ndarray], conf: VapConfig) -> Params:
     """Full reference VapGPT state dict -> VapModel param pytree."""
     params: Params = {"encoder": import_encoder_state_dict(sd, "encoder")}

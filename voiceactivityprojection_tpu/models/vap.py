@@ -171,10 +171,11 @@ def forward(
 
     v1 = out["x1"] @ params["va_classifier"]["w"].T + params["va_classifier"]["b"]
     v2 = out["x2"] @ params["va_classifier"]["w"].T + params["va_classifier"]["b"]
-    vad = jnp.concatenate([v1, v2], axis=-1).astype(jnp.float32)
-    logits = (out["x"] @ params["vap_head"]["w"].T + params["vap_head"]["b"]).astype(
-        jnp.float32
-    )
+    vad = jnp.concatenate([v1, v2], axis=-1)
+    logits = out["x"] @ params["vap_head"]["w"].T + params["vap_head"]["b"]
+    # outputs in at least f32 (bf16 compute upcasts; f64 parity runs keep f64)
+    vad = vad.astype(jnp.promote_types(vad.dtype, jnp.float32))
+    logits = logits.astype(jnp.promote_types(logits.dtype, jnp.float32))
 
     ret = {"logits": logits, "vad": vad}
     if attention:
@@ -229,9 +230,8 @@ def forward_mono(
         dropout=drop, rng=r[1], attn_impl=conf.attn_impl,
     )["x"]
 
-    logits = (x @ params["vap_head"]["w"].T + params["vap_head"]["b"]).astype(
-        jnp.float32
-    )
+    logits = x @ params["vap_head"]["w"].T + params["vap_head"]["b"]
+    logits = logits.astype(jnp.promote_types(logits.dtype, jnp.float32))
     return {"logits": logits, "vad": va}
 
 

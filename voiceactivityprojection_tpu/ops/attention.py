@@ -93,9 +93,10 @@ def attention_dense(
     k = _split_heads(kv_in @ params["key"]["w"].T, num_heads)
     v = _split_heads(kv_in @ params["value"]["w"].T, num_heads)
 
-    # scores + softmax in f32 regardless of compute dtype
+    # scores + softmax in at least f32 (f64 inputs keep f64 for parity)
     scores = jnp.einsum(
-        "bhid,bhjd->bhij", q, k, preferred_element_type=jnp.float32
+        "bhid,bhjd->bhij", q, k,
+        preferred_element_type=jnp.promote_types(q.dtype, jnp.float32),
     ) * scale
     i = jnp.arange(T)[:, None]
     j = jnp.arange(kv_in.shape[1])[None, :]

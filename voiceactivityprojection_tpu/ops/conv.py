@@ -65,11 +65,12 @@ def channel_norm(
     """Normalize over the feature axis with *unbiased* variance.
 
     Matches ChannelNorm (encoder_components.py:62-70): torch's `x.var(dim)`
-    uses Bessel's correction, unlike LayerNorm. Statistics always compute
-    in float32 (mixed-precision safety) and cast back to the input dtype.
+    uses Bessel's correction, unlike LayerNorm. Statistics compute in at
+    least float32 (mixed-precision safety; float64 inputs keep float64 for
+    the f64 parity chain) and cast back to the input dtype.
     """
     dtype = x.dtype
-    xf = x.astype(jnp.float32)
+    xf = x.astype(jnp.promote_types(dtype, jnp.float32))
     c = x.shape[-1]
     mean = xf.mean(-1, keepdims=True)
     var = xf.var(-1, keepdims=True) * (c / (c - 1))
@@ -80,9 +81,10 @@ def channel_norm(
 def layer_norm(
     x: jax.Array, weight: jax.Array, bias: jax.Array, eps: float = 1e-5
 ) -> jax.Array:
-    """Standard LayerNorm over the feature axis (biased variance, f32 stats)."""
+    """Standard LayerNorm over the feature axis (biased variance, stats in
+    at least f32 — f64 preserved)."""
     dtype = x.dtype
-    xf = x.astype(jnp.float32)
+    xf = x.astype(jnp.promote_types(dtype, jnp.float32))
     mean = xf.mean(-1, keepdims=True)
     var = xf.var(-1, keepdims=True)
     xf = (xf - mean) * jax.lax.rsqrt(var + eps)

@@ -54,10 +54,15 @@ from voiceactivityprojection_tpu.train.step import (
 )
 
 
-def run_name(conf: VapConfig) -> str:
-    """Architecture-encoding run name (vap/train.py:137-144)."""
+def run_name(conf: VapConfig, data_conf: Optional[DataConfig] = None) -> str:
+    """Architecture-encoding run name (vap/train.py:137-144); the `ad`
+    segment is the REAL configured audio duration like the reference's
+    `configs['data'].audio_duration`, formatted the same way (a float
+    prints as e.g. 'ad20.0s' there; we keep integers clean)."""
+    ad = data_conf.audio_duration if data_conf is not None else 20.0
+    ad = int(ad) if float(ad).is_integer() else ad
     return (
-        f"VapGPT_{conf.frame_hz}Hz_ad{int(20)}s_{conf.channel_layers}"
+        f"VapGPT_{conf.frame_hz}Hz_ad{ad}s_{conf.channel_layers}"
         f"{conf.cross_layers}{conf.num_heads}"
     )
 
@@ -136,7 +141,7 @@ class Trainer:
         self.seed = seed
         self.limit_batches = limit_batches
 
-        self.name = run_name(self.model_conf)
+        self.name = run_name(self.model_conf, self.data_conf)
         self.out_dir = os.path.join(out_dir, self.name)
         os.makedirs(self.out_dir, exist_ok=True)
         self.logger = JsonlLogger(
@@ -207,14 +212,25 @@ class Trainer:
         else:
             params = init_vap(jax.random.key(self.seed), self.model_conf)
         if init_encoder_from:
-            from voiceactivityprojection_tpu.models.checkpoint import (
-                restore_checkpoint,
-            )
+            if os.path.isfile(init_encoder_from):
+                # libri-light-format CPC blob ({"config","weights"} .pt,
+                # encoder_components.py:371-402): graft gEncoder+gAR, keep
+                # the fresh learned downsample (vap/encoder.py:26-38)
+                from voiceactivityprojection_tpu.models.checkpoint import (
+                    load_cpc_blob,
+                )
 
-            params["encoder"] = restore_checkpoint(
-                os.path.abspath(init_encoder_from),
-                {"encoder": params["encoder"]},
-            )["encoder"]
+                cpc = load_cpc_blob(os.path.abspath(init_encoder_from))
+                params["encoder"] = {**params["encoder"], **cpc}
+            else:
+                from voiceactivityprojection_tpu.models.checkpoint import (
+                    restore_checkpoint,
+                )
+
+                params["encoder"] = restore_checkpoint(
+                    os.path.abspath(init_encoder_from),
+                    {"encoder": params["encoder"]},
+                )["encoder"]
             print(f"Initialized encoder from {init_encoder_from}")
         if resume_from:
             from voiceactivityprojection_tpu.models.checkpoint import (
