@@ -113,6 +113,19 @@ def main() -> None:
 
     audio_seconds = batch * chunk_s * iters
     value = audio_seconds / elapsed
+
+    # MFU / roofline accounting (analytic FLOPs; attention counted
+    # causal-half = what the flash kernel executes, utils/flops.py)
+    from voiceactivityprojection_tpu.utils.flops import (
+        device_peak_tflops,
+        stereo_forward_flops,
+    )
+
+    stages = stereo_forward_flops(n, conf.dim, conf.channel_layers, conf.cross_layers)
+    flops_per_chunk = stages["total"]
+    achieved_tflops = flops_per_chunk * batch * iters / elapsed / 1e12
+    peak = device_peak_tflops()
+    mfu = achieved_tflops / peak if peak else None
     print(
         json.dumps(
             {
@@ -120,13 +133,21 @@ def main() -> None:
                 "value": round(value, 2),
                 "unit": "audio_s/s",
                 "vs_baseline": round(value / 100.0, 3),
+                "gflops_per_chunk": round(flops_per_chunk / 1e9, 2),
+                "achieved_tflops": round(achieved_tflops, 2),
+                "peak_bf16_tflops": peak,
+                "mfu": round(mfu, 4) if mfu is not None else None,
             }
         )
+    )
+    breakdown = " ".join(
+        f"{k}={v / 1e9:.1f}G" for k, v in stages.items() if k != "total"
     )
     print(
         f"# batch={batch} chunk={chunk_s}s iters={iters} "
         f"elapsed={elapsed:.3f}s compile={compile_s:.1f}s "
-        f"platform={jax.devices()[0].platform} device={jax.devices()[0]}",
+        f"platform={jax.devices()[0].platform} device={jax.devices()[0]}\n"
+        f"# flops/chunk: {breakdown}",
         file=sys.stderr,
     )
 

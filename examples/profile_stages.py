@@ -20,9 +20,11 @@ from voiceactivityprojection_tpu.utils.runtime import setup_runtime
 setup_runtime()
 
 
-def timeit(name, fn, *args, iters=10):
+def timeit(name, fn, *args, iters=10, gflops=None, peak=None):
     """fn must return a scalar-reducible array; chains iters dispatches,
-    one host fetch at the end (tunnel sync idiom, see bench.py)."""
+    one host fetch at the end (tunnel sync idiom, see bench.py). When
+    gflops (per call) is given, prints the stage roofline: achieved
+    TFLOP/s and % of chip bf16 peak."""
     jfn = jax.jit(fn)
     # compile + warmup round (first ~10 dispatches post-compile run slow)
     acc = jnp.zeros(())
@@ -35,7 +37,13 @@ def timeit(name, fn, *args, iters=10):
         acc = acc + jfn(*args).sum()
     float(acc)
     ms = (time.time() - t0) / iters * 1e3
-    print(f"{name:38s} {ms:8.2f} ms")
+    roofline = ""
+    if gflops is not None:
+        tfps = gflops / ms  # G / ms == T/s
+        roofline = f"  {gflops:9.1f} G  {tfps:7.1f} TFLOP/s"
+        if peak:
+            roofline += f"  {100 * tfps / peak:5.1f}% peak"
+    print(f"{name:38s} {ms:8.2f} ms{roofline}")
     return ms
 
 
@@ -74,28 +82,45 @@ def main():
     x1 = jnp.asarray(rng.normal(size=(B, T50, 256)), bf)
     x2 = jnp.asarray(rng.normal(size=(B, T50, 256)), bf)
 
+    from voiceactivityprojection_tpu.utils.flops import (
+        device_peak_tflops,
+        stereo_forward_flops,
+    )
+
+    fl = stereo_forward_flops(n, conf.dim, conf.channel_layers, conf.cross_layers)
+    peak = device_peak_tflops()
+    G = lambda key: B * fl[key] / 1e9
+
     def fwd_probs(w):
         out = forward(params, w, conf)  # ONE forward; relying on XLA CSE
         #                                 to dedupe two calls is fragile
         return probs_from_logits(out["logits"], out["vad"], conf)["p_now"]
 
-    total = timeit("full forward+probs", fwd_probs, wav)
+    total = timeit("full forward+probs", fwd_probs, wav, gflops=G("total"), peak=peak)
 
     def fwd_only(w):
         out = forward(params, w, conf)
         return out["logits"].astype(jnp.float32).sum() + out["vad"].astype(jnp.float32).sum()
 
-    timeit("full forward", fwd_only, wav)
+    timeit("full forward", fwd_only, wav, gflops=G("total"), peak=peak)
 
-    timeit("conv stack (fused, R=2B)", lambda r: fused_conv_stack(enc, r), rows)
-    timeit("gru (R=2B)", lambda z: gru(enc["gAR"], z)[0], z100)
-    timeit("downsample (R=2B)", lambda z: _downsample(enc, z), z100)
+    timeit(
+        "conv stack (fused, R=2B)",
+        lambda r: fused_conv_stack(enc, r), rows,
+        gflops=G("conv_stack"), peak=peak,
+    )
+    timeit("gru (R=2B)", lambda z: gru(enc["gAR"], z)[0], z100,
+           gflops=G("gru"), peak=peak)
+    timeit("downsample (R=2B)", lambda z: _downsample(enc, z), z100,
+           gflops=G("downsample"), peak=peak)
     timeit(
         "ar_channel GPT 1L (B)",
         lambda x: apply_gpt(
             cast(params["ar_channel"]), x, num_heads=conf.num_heads
         )["x"],
         x1,
+        gflops=G("ar_channel") / 2,  # one channel here
+        peak=peak,
     )
     timeit(
         "ar stereo GPT 3L (B)",
@@ -104,6 +129,8 @@ def main():
         )["x"],
         x1,
         x2,
+        gflops=G("ar_stereo"),
+        peak=peak,
     )
     timeit(
         "one attention pass (B)",

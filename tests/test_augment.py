@@ -142,3 +142,73 @@ def test_augmentation_psola_mode_dispatch():
     out = aug(b, jax.random.key(0))
     assert out["waveform"].shape == b["waveform"].shape
     assert not np.allclose(np.asarray(out["waveform"]), np.asarray(b["waveform"]))
+
+
+def test_plan_branch_distribution_and_semantics():
+    """plan() preserves the reference branch weights (25% each of pitch /
+    noise / freq-mask / all-three at probability=1) and returns semitones
+    only for the pitch-involving branches."""
+    aug = Augmentation(probability=1.0, seed=0)
+    counts = {0: 0, 1: 0, 2: 0, 3: 0}
+    pitch_branches = 0
+    for _ in range(400):
+        semis, choice = aug.plan()
+        counts[choice] += 1
+        if semis is not None:
+            pitch_branches += 1
+            assert 1 <= abs(semis) <= aug.max_pitch
+            assert choice in (0, 3)
+    # choice==0 collects both "pitch only" and nothing-at-p<1; here p=1 so
+    # 0 means the pitch-only branch (device identity)
+    for c in counts.values():
+        assert 50 < c < 150, counts
+    assert abs(pitch_branches - 200) < 60  # branches 0 and 3 carry pitch
+
+    off = Augmentation(probability=0.0, seed=0)
+    for _ in range(10):
+        semis, choice = off.plan()
+        assert semis is None and choice == 0
+
+
+def test_augment_on_device_matches_component_fns():
+    """One-dispatch device augmentation == composing the individual ops
+    with the same subkeys (flip -> vad-mask -> switch branch)."""
+    from voiceactivityprojection_tpu.train.augment import augment_on_device
+
+    b = batch()
+    key = jax.random.key(42)
+    kw = dict(
+        do_flip=True, flip_prob=0.5, do_mask=True, mask_prob=0.4,
+        noise_amplitude=0.01, sample_rate=16_000, frame_hz=50,
+    )
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    base = flip_channels(b, k1, 0.5)
+    base = mask_vad_channels(base, k2, 0.4, sample_rate=16_000, frame_hz=50)
+
+    for choice, expect in (
+        (0, base["waveform"]),
+        (1, add_gaussian_noise(base["waveform"], k3, 0.01)),
+        (2, frequency_mask(base["waveform"], k4)),
+        (3, add_gaussian_noise(frequency_mask(base["waveform"], k4), k3, 0.01)),
+    ):
+        out = augment_on_device(b, key, choice, **kw)
+        np.testing.assert_allclose(
+            np.asarray(out["waveform"]), np.asarray(expect), atol=1e-6,
+            err_msg=f"choice={choice}",
+        )
+        np.testing.assert_array_equal(
+            np.asarray(out["vad"]), np.asarray(base["vad"])
+        )
+
+
+def test_augment_on_device_gates_off():
+    from voiceactivityprojection_tpu.train.augment import augment_on_device
+
+    b = batch()
+    out = augment_on_device(
+        b, jax.random.key(0), 0,
+        do_flip=False, flip_prob=0.5, do_mask=False, mask_prob=0.4,
+        noise_amplitude=0.01, sample_rate=16_000, frame_hz=50,
+    )
+    np.testing.assert_array_equal(np.asarray(out["waveform"]), np.asarray(b["waveform"]))
+    np.testing.assert_array_equal(np.asarray(out["vad"]), np.asarray(b["vad"]))

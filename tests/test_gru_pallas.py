@@ -119,3 +119,54 @@ def test_gru_downsample_fused_matches_unfused():
     )
     assert got.shape == want.shape
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5)
+
+
+def test_fused_epilogue_under_grad_requires_stop_gradient():
+    """Regression (round-2): frozen-encoder TRAINING differentiates the
+    whole forward; the fused GRU+downsample kernel has no JVP rule, so
+    models/vap.forward must stop_gradient the encoder PARAMS (zero
+    tangents -> the kernel is never differentiated). Verify both halves
+    of that contract: tangent-carrying inputs blow up, stop-gradiented
+    inputs run fine inside jax.grad."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from voiceactivityprojection_tpu.ops.gru_pallas import gru_downsample_fused
+
+    B, T, H = 2, 16, 128
+    rng = np.random.default_rng(0)
+    args = dict(
+        x_proj=jnp.asarray(rng.normal(size=(B, T, 3 * H)).astype(np.float32)),
+        w_hh=jnp.asarray(rng.normal(size=(H, 3 * H)).astype(np.float32) * 0.1),
+        b_hh=jnp.zeros((3 * H,), jnp.float32),
+        h0=jnp.zeros((B, H), jnp.float32),
+        w_d=jnp.asarray(rng.normal(size=(5, H, H)).astype(np.float32) * 0.1),
+        b_d=jnp.zeros((H,), jnp.float32),
+        ln_w=jnp.ones((H,), jnp.float32),
+        ln_b=jnp.zeros((H,), jnp.float32),
+    )
+
+    def loss_frozen(w_hh, rest):
+        w = jax.lax.stop_gradient(w_hh)
+        out = gru_downsample_fused(
+            jax.lax.stop_gradient(rest["x_proj"]), w, rest["b_hh"],
+            rest["h0"], rest["w_d"], rest["b_d"], rest["ln_w"], rest["ln_b"],
+        )
+        # give grad SOMETHING differentiable downstream, like the VAP head
+        return (out.sum() * (w_hh.sum() * 0 + 1.0)).sum()
+
+    g = jax.grad(loss_frozen)(args["w_hh"], args)
+    assert np.all(np.isfinite(np.asarray(g)))
+
+    def loss_hot(w_hh, rest):
+        out = gru_downsample_fused(
+            rest["x_proj"], w_hh, rest["b_hh"],
+            rest["h0"], rest["w_d"], rest["b_d"], rest["ln_w"], rest["ln_b"],
+        )
+        return out.sum()
+
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        jax.grad(loss_hot)(args["w_hh"], args)

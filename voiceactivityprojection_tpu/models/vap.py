@@ -137,18 +137,28 @@ def forward(
 
     params, waveform = _compute_cast(params, waveform, conf)
     # fused conv stack auto-fires for inference (rng None) and for frozen-
-    # encoder training (stop_gradient below means the kernel's VJP
-    # fallback never runs). Measured on v5e: pure forward 71.0 vs 75.6 ms
-    # (B=64x20s) and train step 62.0 vs 64.5 ms (B=16) since the window
-    # expand moved in-kernel; with an UNFROZEN encoder the custom VJP
-    # would recompute the XLA forward, so that case keeps XLA convs.
+    # encoder training (the stop_gradient on the encoder PARAMS below
+    # zeroes their tangents, so the fused kernels are never differentiated
+    # — they have no JVP rule). Measured on v5e: pure forward 71.0 vs
+    # 75.6 ms (B=64x20s) and train step 62.0 vs 64.5 ms (B=16) since the
+    # window expand moved in-kernel; with an UNFROZEN encoder the custom
+    # VJP would recompute the XLA forward, so that case keeps XLA convs.
+    if conf.freeze_encoder:
+        # frozen CPC encoder (vap/encoder.py:39-42): stop gradients at the
+        # PARAMS, not only the features — under jax.grad the params carry
+        # tangents into apply_encoder otherwise, which (a) wastes an
+        # encoder backward and (b) asserts in the Pallas fused kernels
+        # (no JVP rule). The optimizer mask already zeroes encoder updates.
+        params = dict(params)
+        params["encoder"] = jax.tree.map(
+            jax.lax.stop_gradient, params["encoder"]
+        )
     x1, x2 = encode_audio(
         params, waveform, fused_auto=rng is None or bool(conf.freeze_encoder)
     )
     if conf.freeze_encoder:
-        # frozen CPC encoder (vap/encoder.py:39-42): stop gradients at the
-        # feature boundary — the optimizer mask already zeroes encoder
-        # updates, and this additionally skips the encoder backward pass
+        # feature-boundary stop keeps the encoder out of the backward even
+        # when the fused path is off
         x1 = jax.lax.stop_gradient(x1)
         x2 = jax.lax.stop_gradient(x2)
     # NOTE: the channel-stacked variant (apply_gpt_stereo_batched — one
@@ -201,8 +211,13 @@ def forward_mono(
         assert waveform.shape[1] == 1, f"expected (B, 1, n), got {waveform.shape}"
         waveform = waveform[:, 0]
     params, waveform = _compute_cast(params, waveform, conf)
+    # see forward(): params-level stop keeps tangents out of the Pallas
+    # fused encoder kernels (no JVP rule) under jax.grad
+    enc_params = params["encoder"]
+    if conf.freeze_encoder:
+        enc_params = jax.tree.map(jax.lax.stop_gradient, enc_params)
     x = apply_encoder(
-        params["encoder"],
+        enc_params,
         waveform,
         fused_auto=rng is None or bool(conf.freeze_encoder),
     )

@@ -48,9 +48,18 @@ NEG_INF = -1e30
 LANES = 128
 # one block pair per (b,h) at the 1024-frame training shape: measured on
 # v5e the 1024/1024 blocking beats smaller blocks for the forward (grid
-# overhead dominates); the backward reuses it
+# overhead dominates); the backward reuses it. Dtype-aware: at f32 the
+# dkv backward's double-buffered 1024-blocks exceed the 16 MB scoped-VMEM
+# limit (observed: 16.20M vs 16.00M on a v5e train step at B=16, T=1000),
+# so f32 halves block_k.
 DEFAULT_BLOCK_Q = 1024
 DEFAULT_BLOCK_K = 1024
+
+
+def _default_blocks(dtype) -> tuple:
+    if jnp.dtype(dtype).itemsize >= 4:
+        return DEFAULT_BLOCK_Q, DEFAULT_BLOCK_K // 2
+    return DEFAULT_BLOCK_Q, DEFAULT_BLOCK_K
 
 
 def _hash_keep(gbh, gq, gk, seed, thresh):
@@ -157,7 +166,11 @@ def _fwd_kernel(
 
 
 def _flash_train_forward(q, k, v, slopes, seed, scale, rate,
-                         block_q=DEFAULT_BLOCK_Q, block_k=DEFAULT_BLOCK_K):
+                         block_q=None, block_k=None):
+    if block_q is None or block_k is None:
+        dbq, dbk = _default_blocks(q.dtype)
+        block_q = dbq if block_q is None else block_q
+        block_k = dbk if block_k is None else block_k
     B, H, T, Dh = q.shape
     t128 = -(-T // 128) * 128
     block_q = min(block_q, t128)
@@ -341,7 +354,11 @@ def _bwd_dkv_kernel(
 
 
 def _flash_train_backward(q, k, v, slopes, seed, out, lse, g, scale, rate,
-                          block_q=DEFAULT_BLOCK_Q, block_k=DEFAULT_BLOCK_K):
+                          block_q=None, block_k=None):
+    if block_q is None or block_k is None:
+        dbq, dbk = _default_blocks(q.dtype)
+        block_q = dbq if block_q is None else block_q
+        block_k = dbk if block_k is None else block_k
     B, H, T, Dh = q.shape
     t128 = -(-T // 128) * 128
     block_q = min(block_q, t128)

@@ -173,24 +173,102 @@ class Augmentation:
         )
         return jnp.asarray(shift(np.asarray(waveform), semis))
 
-    def __call__(self, batch: Dict, key: jax.Array) -> Dict:
+    def plan(self) -> tuple:
+        """Draw this step's augmentation plan on the HOST rng (identical
+        across processes when seeded identically, so multi-host takes the
+        same branch): returns (n_semitones | None, device_choice) where
+        device_choice indexes `augment_on_device`'s lax.switch branches
+        {0: none, 1: noise, 2: freq-mask, 3: freq-mask -> noise}. The
+        pitch shift is host-side resampling and is applied BEFORE the
+        single host->device put (see train/loop.py); reference branch
+        weights are preserved (vap/transforms.py:58-70): 25% pitch, 25%
+        noise, 25% freq-mask, 25% all three (pitch -> mask -> noise)."""
         if self.np_rng.random() >= self.probability:
-            return batch
-        # reference branch weights (vap/transforms.py:58-70): 25% pitch,
-        # 25% noise, 25% freq-mask, 25% ALL THREE (pitch -> mask -> noise)
-        choice = self.np_rng.integers(0, 4)
+            return None, 0
+        choice = int(self.np_rng.integers(0, 4))
+        semis = None
+        if choice in (0, 3):
+            semis = float(self.np_rng.integers(1, self.max_pitch + 1)) * (
+                1 if self.np_rng.random() < 0.5 else -1
+            )
+        # branch 0 is pitch-only: its device part is the identity
+        return semis, (0 if choice == 0 else choice)
+
+    def apply_pitch_host(self, waveform: np.ndarray, n_semitones: float) -> np.ndarray:
+        """Host-side pitch shift (numpy in/out, no device traffic)."""
+        shift = psola_pitch_shift if self.pitch_mode == "psola" else naive_pitch_shift
+        return np.asarray(shift(np.asarray(waveform), n_semitones), dtype=np.float32)
+
+    def __call__(self, batch: Dict, key: jax.Array) -> Dict:
+        semis, choice = self.plan()
         out = dict(batch)
         w = jnp.asarray(batch["waveform"])
-        if choice == 0:
-            w = self._shift(w)
-        elif choice == 1:
+        if semis is not None:
+            w = jnp.asarray(self.apply_pitch_host(np.asarray(w), semis))
+        if choice == 1:
             w = add_gaussian_noise(w, key, self.noise_amplitude)
         elif choice == 2:
             w = frequency_mask(w, key)
-        else:
+        elif choice == 3:
             k1, k2 = jax.random.split(key)
-            w = self._shift(w)
             w = frequency_mask(w, k1)
             w = add_gaussian_noise(w, k2, self.noise_amplitude)
         out["waveform"] = w
         return out
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "do_flip", "flip_prob", "do_mask", "mask_prob",
+        "noise_amplitude", "sample_rate", "frame_hz",
+    ),
+)
+def augment_on_device(
+    batch: Dict[str, jax.Array],
+    key: jax.Array,
+    choice: jax.Array,
+    *,
+    do_flip: bool,
+    flip_prob: float,
+    do_mask: bool,
+    mask_prob: float,
+    noise_amplitude: float,
+    sample_rate: int,
+    frame_hz: int,
+) -> Dict[str, jax.Array]:
+    """All device-side batch mutations in ONE jitted dispatch, applied to
+    the already-sharded batch: channel flip (vap/callbacks.py:44-66), VAD
+    masking, and the noise/freq-mask augmentation branch selected by
+    `choice` (0 none, 1 noise, 2 freq-mask, 3 freq-mask -> noise). The
+    host-side pitch branch runs before the host->device put, so the train
+    loop never fetches the batch back from the device (the previous flow's
+    device->host->numpy->device round-trip cost a full batch transfer per
+    step — ~40 MB at B=16 — on the TPU tunnel)."""
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    if do_flip:
+        batch = flip_channels(batch, k1, flip_prob)
+    if do_mask:
+        batch = mask_vad_channels(
+            batch, k2, mask_prob, sample_rate=sample_rate, frame_hz=frame_hz
+        )
+    wf = batch["waveform"]
+
+    def none_fn(w):
+        return w
+
+    def noise_fn(w):
+        return add_gaussian_noise(w, k3, noise_amplitude)
+
+    def fmask_fn(w):
+        return frequency_mask(w, k4)
+
+    def both_fn(w):
+        return add_gaussian_noise(frequency_mask(w, k4), k3, noise_amplitude)
+
+    wf = jax.lax.switch(
+        jnp.asarray(choice, jnp.int32), [none_fn, noise_fn, fmask_fn, both_fn], wf
+    )
+    out = dict(batch)
+    out["waveform"] = wf
+    return out

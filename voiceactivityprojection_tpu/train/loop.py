@@ -41,7 +41,11 @@ from voiceactivityprojection_tpu.models.checkpoint import save_checkpoint
 from voiceactivityprojection_tpu.models.vap import init_vap
 from voiceactivityprojection_tpu.ops.codebook import get_probs
 from voiceactivityprojection_tpu.parallel.mesh import make_mesh, replicate_tree, shard_batch
-from voiceactivityprojection_tpu.train.augment import Augmentation, flip_channels
+from voiceactivityprojection_tpu.train.augment import (
+    Augmentation,
+    augment_on_device,
+    flip_channels,
+)
 from voiceactivityprojection_tpu.train.step import (
     EarlyStopping,
     ReduceLROnPlateau,
@@ -184,6 +188,10 @@ class Trainer:
             ),
             batch_size=dc.batch_size,
             shuffle=shuffle,
+            # evaluation must see every window: keep the ragged tail batch
+            # (costs one extra eval_step compile for the smaller shape);
+            # training drops it for static shapes + unbiased step stats
+            drop_last=shuffle,
             seed=self.seed,
         )
         train = mk(dc.train_path, True) if dc.train_path else None
@@ -251,28 +259,44 @@ class Trainer:
                 # ---- train
                 t0 = time.time()
                 losses = []
-                for i, batch in enumerate(train_loader):
+                data_wait = 0.0  # time blocked on the loader (prefetch miss)
+                n_steps = 0
+                it = enumerate(train_loader)
+                while True:
+                    tw = time.time()
+                    try:
+                        i, batch = next(it)
+                    except StopIteration:
+                        break
+                    data_wait += time.time() - tw
                     if self.limit_batches and i >= self.limit_batches:
                         break
-                    key, k1, k2, k3, k4 = jax.random.split(key, 5)
-                    if self.data_conf.flip_channels and not self.mono:
-                        batch = flip_channels(
-                            {k: jnp.asarray(v) for k, v in batch.items()},
-                            k1, self.data_conf.flip_probability,
+                    n_steps += 1
+                    key, k1, k3 = jax.random.split(key, 3)
+                    # batch mutations, transfer-minimal (one host->device
+                    # put per step, zero fetches): the host-side pitch
+                    # branch mutates numpy BEFORE the put; flip/vad-mask/
+                    # noise/freq-mask run in ONE jitted dispatch on the
+                    # already-sharded arrays (train/augment.py
+                    # augment_on_device)
+                    semis, choice = self.augment.plan()
+                    if semis is not None:
+                        batch = dict(batch)
+                        batch["waveform"] = self.augment.apply_pitch_host(
+                            np.asarray(batch["waveform"]), semis
                         )
-                    if self.data_conf.mask_vad and not self.mono:
-                        from voiceactivityprojection_tpu.train.augment import (
-                            mask_vad_channels,
-                        )
-
-                        batch = mask_vad_channels(
-                            {k: jnp.asarray(v) for k, v in batch.items()},
-                            k4, self.data_conf.mask_vad_probability,
-                            self.data_conf.sample_rate, self.data_conf.frame_hz,
-                        )
-                    batch = self.augment(batch, k2)
                     batch = shard_batch(
                         {k: np.asarray(v) for k, v in batch.items()}, self.mesh
+                    )
+                    batch = augment_on_device(
+                        batch, k1, choice,
+                        do_flip=bool(self.data_conf.flip_channels) and not self.mono,
+                        flip_prob=self.data_conf.flip_probability,
+                        do_mask=bool(self.data_conf.mask_vad) and not self.mono,
+                        mask_prob=self.data_conf.mask_vad_probability,
+                        noise_amplitude=self.augment.noise_amplitude,
+                        sample_rate=self.data_conf.sample_rate,
+                        frame_hz=self.data_conf.frame_hz,
                     )
                     state, metrics = self.train_step(state, batch, k3)
                     # keep the DEVICE scalar: float() here would block on a
@@ -289,6 +313,10 @@ class Trainer:
                     "loss": train_loss,
                     "lr": get_learning_rate(state),
                     "train_s": round(time.time() - t0, 1),
+                    # host-overhead observability: how long the step loop
+                    # sat waiting for data (loader not hidden by prefetch)
+                    "data_wait_s": round(data_wait, 2),
+                    "steps": n_steps,
                 }
 
                 # ---- validate
