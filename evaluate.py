@@ -29,6 +29,12 @@ def main() -> None:
     parser.add_argument("--out_dir", type=str, default="eval")
     parser.add_argument("--limit_batches", type=int, default=0)
     parser.add_argument("--no_threshold_search", action="store_true")
+    parser.add_argument(
+        "--thresholds", type=str, default="",
+        help="thresholds.json from a previous --out_dir (found on the val "
+        "split) to APPLY at test time — the reference's find-on-one-split "
+        "/ apply-at-test flow (evaluation.py:245-322)",
+    )
     VapConfig.add_argparse_args(parser)
     DataConfig.add_argparse_args(parser)
     EventConfig.add_argparse_args(parser)
@@ -65,11 +71,18 @@ def main() -> None:
         batch_size=data_conf.batch_size,
         shuffle=False,
     )
+    thresholds = None
+    if args.thresholds:
+        from voiceactivityprojection_tpu.utils.io import read_json
+
+        thresholds = read_json(args.thresholds)
+        print(f"Applying transferred thresholds: {thresholds}")
     result = evaluate(
         model, loader, event_conf,
         out_dir=args.out_dir,
         limit_batches=args.limit_batches or None,
         threshold_search=not args.no_threshold_search,
+        thresholds=thresholds,
     )
     for k, v in result.items():
         print(f"{k}: {v}")

@@ -90,9 +90,18 @@ class BinaryClassMetrics:
     def __init__(self):
         self.cm = np.zeros((2, 2), dtype=np.int64)  # [target, pred]
 
-    def update(self, probs: np.ndarray, targets: np.ndarray) -> None:
-        # reference rounds probs before update (vap/train.py:306-308)
-        preds = np.rint(np.asarray(probs)).astype(np.int64).clip(0, 1)
+    def update(
+        self, probs: np.ndarray, targets: np.ndarray,
+        threshold: Optional[float] = None,
+    ) -> None:
+        # default mirrors the reference, which rounds probs before update
+        # (vap/train.py:306-308); an explicit threshold binarizes at
+        # probs >= threshold — the find-on-val / apply-at-test transfer
+        # flow (reference evaluation.py:144-232 thresholds usage)
+        if threshold is None:
+            preds = np.rint(np.asarray(probs)).astype(np.int64).clip(0, 1)
+        else:
+            preds = (np.asarray(probs) >= threshold).astype(np.int64)
         targets = np.asarray(targets).astype(np.int64).ravel()
         self.cm += np.bincount(
             2 * targets + preds.ravel(), minlength=4
@@ -134,15 +143,28 @@ class EventMetrics:
     FAMILIES = ("hs", "ls", "sp", "bp")
     KEYMAP = {"hs": "hs", "ls": "ls", "sp": "pred_shift", "bp": "pred_backchannel"}
 
-    def __init__(self):
+    def __init__(self, thresholds: Optional[Dict[str, float]] = None):
+        """`thresholds` maps event-family names (either the short hs/ls/
+        sp/bp or the pooled names hs/ls/pred_shift/pred_backchannel, i.e.
+        thresholds.json keys) to decision thresholds; families absent
+        from the dict keep the reference's 0.5 rounding."""
         self.metrics = {f: BinaryClassMetrics() for f in self.FAMILIES}
+        self.thresholds: Dict[str, float] = {}
+        for k, v in (thresholds or {}).items():
+            short = {v2: k2 for k2, v2 in self.KEYMAP.items()}.get(k, k)
+            if short not in self.FAMILIES:
+                raise ValueError(f"unknown event family in thresholds: {k!r}")
+            self.thresholds[short] = float(v)
 
     def update(self, preds: Dict[str, Optional[np.ndarray]],
                targets: Dict[str, Optional[np.ndarray]]) -> None:
         for fam in self.FAMILIES:
             key = self.KEYMAP[fam]
             if preds.get(key) is not None:
-                self.metrics[fam].update(preds[key], targets[key])
+                self.metrics[fam].update(
+                    preds[key], targets[key],
+                    threshold=self.thresholds.get(fam),
+                )
 
     def compute(self) -> Dict[str, float]:
         out: Dict[str, float] = {}

@@ -84,9 +84,14 @@ class EvaluationCollector:
 
     FAMILIES = ("hs", "pred_shift", "ls", "pred_backchannel")
 
-    def __init__(self, event_conf=None, seed: int = 0):
+    def __init__(self, event_conf=None, seed: int = 0,
+                 thresholds: Optional[Dict[str, float]] = None):
+        """`thresholds` (family -> decision threshold, the thresholds.json
+        layout) switches the metrics from 0.5 rounding to the transferred
+        thresholds — the reference's find-on-one-split / apply-at-test
+        flow (evaluation.py:245-322)."""
         self.event_extractor = TurnTakingEvents(event_conf, seed=seed)
-        self.metrics = EventMetrics()
+        self.metrics = EventMetrics(thresholds)
         self.pooled: Dict[str, List[np.ndarray]] = {f: [] for f in self.FAMILIES}
         self.pooled_t: Dict[str, List[np.ndarray]] = {f: [] for f in self.FAMILIES}
         self.vap_losses: List[float] = []
@@ -170,12 +175,15 @@ def evaluate(
     out_dir: str = "eval",
     limit_batches: Optional[int] = None,
     threshold_search: bool = True,
+    thresholds: Optional[Dict[str, float]] = None,
 ) -> Dict[str, float]:
-    """Full test-split evaluation (contract of evaluation.py:245-322)."""
+    """Full test-split evaluation (contract of evaluation.py:245-322).
+    Pass `thresholds` (e.g. json-loaded thresholds.json from a previous
+    threshold-search run on the val split) to APPLY them at test time."""
     from voiceactivityprojection_tpu.train.step import make_eval_step
 
     eval_step = make_eval_step(model.conf)
-    collector = EvaluationCollector(event_conf)
+    collector = EvaluationCollector(event_conf, thresholds=thresholds)
     for i, batch in enumerate(test_loader):
         if limit_batches and i >= limit_batches:
             break
