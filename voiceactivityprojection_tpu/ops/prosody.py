@@ -49,9 +49,23 @@ def pitch_track(
     fmin: float = 60.0,
     fmax: float = 400.0,
     voiced_threshold: float = 0.3,
+    n_candidates: int = 4,
+    jump_cost: float = 0.5,
+    voicing_transition_cost: float = 0.14,
+    octave_cost: float = 0.1,
 ) -> Tuple[np.ndarray, np.ndarray]:
-    """Autocorrelation pitch: returns (f0, voiced_mask) per hop frame;
-    f0=0 for unvoiced frames."""
+    """Candidate-based autocorrelation pitch with Viterbi path smoothing
+    (the praat algorithm family: per-frame peak candidates + an unvoiced
+    hypothesis, octave-jump transition costs, best global path). Returns
+    (f0, voiced_mask) per hop frame; f0=0 for unvoiced frames.
+
+    Chosen over single-peak autocorr after measuring the probe chain on
+    the reference example wav (tests/test_prosody.py): single-peak octave
+    errors inflated the flattened-pitch residual std to 6.7 Hz; the
+    Viterbi path brings it to ~2.1 Hz (tracker floor on clean synthetic
+    flat pitch: 0.6 Hz). `voiced_threshold` acts as the unvoiced state's
+    local cost (strength below it prefers unvoiced, like praat's
+    voicing_threshold)."""
     x = np.asarray(x, dtype=np.float32)
     hop = int(hop_time * sample_rate)
     frame_len = int(0.025 * sample_rate)
@@ -66,26 +80,94 @@ def pitch_track(
     ac = np.fft.irfft(spec * np.conj(spec), nfft)[:, :frame_len]
     ac0 = np.maximum(ac[:, 0], 1e-10)
     norm_ac = ac / ac0[:, None]
-
-    band = norm_ac[:, lag_min : lag_max + 1]
-    best = band.argmax(-1)
-    best_val = band[np.arange(len(best)), best]
-    lags = best + lag_min
-
-    # parabolic interpolation around the peak for sub-sample lag
-    l0 = np.clip(lags - 1, 0, frame_len - 1)
-    l2 = np.clip(lags + 1, 0, frame_len - 1)
-    y0 = norm_ac[np.arange(len(lags)), l0]
-    y1 = norm_ac[np.arange(len(lags)), lags]
-    y2 = norm_ac[np.arange(len(lags)), l2]
-    denom = y0 - 2 * y1 + y2
-    safe = np.where(np.abs(denom) > 1e-8, denom, 1.0)
-    delta = np.where(np.abs(denom) > 1e-8, 0.5 * (y0 - y2) / safe, 0.0)
-    lag_f = lags + np.clip(delta, -1, 1)
-
+    # taper-bias correction (praat's r(tau)/r_w(tau)): the raw estimator
+    # decays ~(1 - lag/frame_len) for a perfectly periodic signal, which
+    # starves low-f0 candidates (a pure 100 Hz tone read ~0.6 at its lag).
+    # The correction factor is capped (x3) and the result NOT clipped at
+    # 1: clipping saturates whole lag plateaus to exactly 1.0, which ties
+    # subharmonics with the true peak and pushes it out of the top-N
+    # candidate list (observed: a pure 330 Hz tone tracked at 165 Hz).
+    taper = np.maximum(1.0 - np.arange(frame_len) / frame_len, 1.0 / 3.0)
+    norm_ac = norm_ac / taper[None, :]
     energy = ac0 / frame_len
-    voiced = (best_val > voiced_threshold) & (energy > 1e-6)
-    f0 = np.where(voiced, sample_rate / np.maximum(lag_f, 1.0), 0.0)
+
+    T = len(frames)
+    band = norm_ac[:, lag_min : lag_max + 1]
+    nc = n_candidates
+    cands = np.zeros((T, nc), dtype=np.float64)     # candidate f0 (0 = none)
+    strengths = np.zeros((T, nc), dtype=np.float64)  # autocorr peak height
+    # local maxima of the lag band, top-nc by strength, sub-sample refined
+    interior = band[:, 1:-1]
+    is_peak = (interior > band[:, :-2]) & (interior >= band[:, 2:])
+    lag_axis = np.arange(band.shape[1]) + lag_min
+    f0_axis = sample_rate / lag_axis
+    # candidate selection score includes the octave penalty (praat applies
+    # OctaveCost when scoring candidates, not only on the path): for a
+    # pure tone every subharmonic lag reads corrected-strength ~1.0, so a
+    # raw-strength top-N fills up with subharmonics and drops the true
+    # peak entirely (observed at 330 Hz with a 400-sample frame)
+    sel_pen = octave_cost * np.log2(fmax / f0_axis)
+    for i in range(T):
+        pk = np.nonzero(is_peak[i])[0] + 1
+        if pk.size == 0:
+            continue
+        top = pk[np.argsort(band[i, pk] - sel_pen[pk])[::-1][:nc]]
+        lags = top + lag_min
+        y0 = norm_ac[i, lags - 1]
+        y1 = norm_ac[i, lags]
+        y2 = norm_ac[i, np.minimum(lags + 1, frame_len - 1)]
+        den = y0 - 2 * y1 + y2
+        delta = np.where(np.abs(den) > 1e-8, 0.5 * (y0 - y2) / np.where(np.abs(den) > 1e-8, den, 1.0), 0.0)
+        lag_f = lags + np.clip(delta, -1, 1)
+        k = len(top)
+        cands[i, :k] = sample_rate / np.maximum(lag_f, 1.0)
+        strengths[i, :k] = band[i, top]
+
+    # Viterbi over nc pitch states + 1 unvoiced state
+    NS = nc + 1
+    local = np.full((T, NS), np.inf)
+    # octave cost (praat's OctaveCost): after taper correction a pure
+    # tone's subharmonic peak ties the true one — penalize low f0 so the
+    # higher octave wins ties
+    oct_pen = octave_cost * np.where(
+        cands > 0, np.log2(fmax / np.maximum(cands, 1e-6)), 0.0
+    )
+    # corrected strengths can exceed 1 (noise amplified by the taper
+    # correction); cost floors at the octave penalty so super-unity
+    # strengths don't become negative costs
+    local[:, :nc] = np.where(
+        strengths > 0, 1.0 - np.minimum(strengths, 1.0) + oct_pen, np.inf
+    )
+    local[:, nc] = voiced_threshold
+    logf = np.where(cands > 0, np.log2(np.maximum(cands, 1e-6)), 0.0)
+    cost = local[0].copy()
+    back = np.zeros((T, NS), dtype=np.int32)
+    for i in range(1, T):
+        # transition matrix prev(k) x cur(j)
+        tr = np.zeros((NS, NS))
+        valid_prev = cands[i - 1] > 0
+        valid_cur = cands[i] > 0
+        dj = np.abs(logf[i - 1][:, None] - logf[i][None, :])
+        tr[:nc, :nc] = np.where(
+            valid_prev[:, None] & valid_cur[None, :], jump_cost * dj, np.inf
+        )
+        tr[nc, :nc] = voicing_transition_cost
+        tr[:nc, nc] = voicing_transition_cost
+        tr[nc, nc] = 0.0
+        tot = cost[:, None] + tr
+        back[i] = np.argmin(tot, axis=0)
+        cost = tot[back[i], np.arange(NS)] + local[i]
+        cost = np.where(np.isfinite(local[i]), cost, np.inf)
+
+    path = np.zeros(T, dtype=np.int32)
+    path[-1] = int(np.argmin(cost))
+    for i in range(T - 2, -1, -1):
+        path[i] = back[i + 1, path[i + 1]]
+
+    sel = path < nc
+    f0 = np.where(sel, cands[np.arange(T), np.minimum(path, nc - 1)], 0.0)
+    voiced = sel & (f0 > 0) & (energy > 1e-6)
+    f0 = np.where(voiced, f0, 0.0)
     return f0.astype(np.float32), voiced
 
 

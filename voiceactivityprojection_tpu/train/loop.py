@@ -41,11 +41,7 @@ from voiceactivityprojection_tpu.models.checkpoint import save_checkpoint
 from voiceactivityprojection_tpu.models.vap import init_vap
 from voiceactivityprojection_tpu.ops.codebook import get_probs
 from voiceactivityprojection_tpu.parallel.mesh import make_mesh, replicate_tree, shard_batch
-from voiceactivityprojection_tpu.train.augment import (
-    Augmentation,
-    augment_on_device,
-    flip_channels,
-)
+from voiceactivityprojection_tpu.train.augment import Augmentation
 from voiceactivityprojection_tpu.train.step import (
     EarlyStopping,
     ReduceLROnPlateau,
@@ -155,19 +151,32 @@ class Trainer:
         self.mono = bool(getattr(self.model_conf, "mono", False))
         self.mesh = make_mesh(n_data=n_devices)
         self.tx = make_optimizer(self.opt_conf, self.model_conf.freeze_encoder)
-        if self.mono:
-            from voiceactivityprojection_tpu.train.step import (
-                make_eval_step_mono,
-                make_train_step_mono,
-            )
+        from voiceactivityprojection_tpu.train.step import (
+            make_eval_step_mono,
+            make_train_step_augmented,
+        )
 
-            self.train_step = make_train_step_mono(self.model_conf, self.tx)
-            self.eval_step = make_eval_step_mono(self.model_conf)
-        else:
-            self.train_step = make_train_step(self.model_conf, self.tx)
-            self.eval_step = make_eval_step(self.model_conf)
-        self.event_extractor = TurnTakingEvents(self.event_conf, seed=seed)
         self.augment = Augmentation(seed=seed, pitch_mode=self.data_conf.pitch_mode)
+        # fused augment+train step: one dispatch per step (see
+        # make_train_step_augmented's measured motivation)
+        self.train_step = make_train_step_augmented(
+            self.model_conf,
+            self.tx,
+            mono=self.mono,
+            do_flip=bool(self.data_conf.flip_channels) and not self.mono,
+            flip_prob=self.data_conf.flip_probability,
+            do_mask=bool(self.data_conf.mask_vad) and not self.mono,
+            mask_prob=self.data_conf.mask_vad_probability,
+            noise_amplitude=self.augment.noise_amplitude,
+            sample_rate=self.data_conf.sample_rate,
+            frame_hz=self.data_conf.frame_hz,
+        )
+        self.eval_step = (
+            make_eval_step_mono(self.model_conf)
+            if self.mono
+            else make_eval_step(self.model_conf)
+        )
+        self.event_extractor = TurnTakingEvents(self.event_conf, seed=seed)
         self.plateau = ReduceLROnPlateau(
             factor=self.opt_conf.lr_scheduler_factor,
             patience=self.opt_conf.lr_scheduler_patience,
@@ -255,13 +264,39 @@ class Trainer:
             key = jax.random.key(self.seed + 1)
             best_val = float("inf")
 
+            base_key = jax.device_put(key)
+
+            def prepare(batch):
+                """Host side of a step: draw the augmentation plan, apply
+                the host pitch branch (numpy), ONE sharded host->device
+                put. Called one step AHEAD of consumption so the upload
+                overlaps the previous step's compute — measured on the
+                v5e tunnel this pipelining is the difference between ~900
+                and ~160 ms/step at B=16 f32 (fresh uploads consumed
+                immediately serialize with the device queue)."""
+                semis, choice = self.augment.plan()
+                if semis is not None:
+                    batch = dict(batch)
+                    batch["waveform"] = self.augment.apply_pitch_host(
+                        np.asarray(batch["waveform"]), semis
+                    )
+                return (
+                    shard_batch(
+                        {k: np.asarray(v) for k, v in batch.items()}, self.mesh
+                    ),
+                    choice,
+                )
+
             for epoch in range(self.max_epochs):
                 # ---- train
                 t0 = time.time()
                 losses = []
                 data_wait = 0.0  # time blocked on the loader (prefetch miss)
+                prep_s = 0.0     # host pitch + host->device put
+                dispatch_s = 0.0  # time blocked dispatching the fused step
                 n_steps = 0
                 it = enumerate(train_loader)
+                pending = None
                 while True:
                     tw = time.time()
                     try:
@@ -272,36 +307,24 @@ class Trainer:
                     if self.limit_batches and i >= self.limit_batches:
                         break
                     n_steps += 1
-                    key, k1, k3 = jax.random.split(key, 3)
-                    # batch mutations, transfer-minimal (one host->device
-                    # put per step, zero fetches): the host-side pitch
-                    # branch mutates numpy BEFORE the put; flip/vad-mask/
-                    # noise/freq-mask run in ONE jitted dispatch on the
-                    # already-sharded arrays (train/augment.py
-                    # augment_on_device)
-                    semis, choice = self.augment.plan()
-                    if semis is not None:
-                        batch = dict(batch)
-                        batch["waveform"] = self.augment.apply_pitch_host(
-                            np.asarray(batch["waveform"]), semis
+                    tw = time.time()
+                    prep = prepare(batch)
+                    prep_s += time.time() - tw
+                    if pending is not None:
+                        tw = time.time()
+                        state, metrics = self.train_step(
+                            state, pending[0], base_key, pending[1]
                         )
-                    batch = shard_batch(
-                        {k: np.asarray(v) for k, v in batch.items()}, self.mesh
+                        dispatch_s += time.time() - tw
+                        # keep the DEVICE scalar: float() here would block
+                        # on a host fetch every step (~28 ms tunnel RTT)
+                        # and stop step n+1 dispatching behind step n
+                        losses.append(metrics["loss"])
+                    pending = prep
+                if pending is not None:  # drain the pipeline
+                    state, metrics = self.train_step(
+                        state, pending[0], base_key, pending[1]
                     )
-                    batch = augment_on_device(
-                        batch, k1, choice,
-                        do_flip=bool(self.data_conf.flip_channels) and not self.mono,
-                        flip_prob=self.data_conf.flip_probability,
-                        do_mask=bool(self.data_conf.mask_vad) and not self.mono,
-                        mask_prob=self.data_conf.mask_vad_probability,
-                        noise_amplitude=self.augment.noise_amplitude,
-                        sample_rate=self.data_conf.sample_rate,
-                        frame_hz=self.data_conf.frame_hz,
-                    )
-                    state, metrics = self.train_step(state, batch, k3)
-                    # keep the DEVICE scalar: float() here would block on a
-                    # host fetch every step (~28 ms tunnel round-trip) and
-                    # stop step n+1 from dispatching behind step n
                     losses.append(metrics["loss"])
                 train_loss = (
                     float(np.mean(jax.device_get(losses)))
@@ -314,8 +337,12 @@ class Trainer:
                     "lr": get_learning_rate(state),
                     "train_s": round(time.time() - t0, 1),
                     # host-overhead observability: how long the step loop
-                    # sat waiting for data (loader not hidden by prefetch)
+                    # sat waiting for data (loader not hidden by prefetch),
+                    # preparing batches (pitch + put), and blocked on step
+                    # dispatch (device backpressure)
                     "data_wait_s": round(data_wait, 2),
+                    "prep_s": round(prep_s, 2),
+                    "dispatch_s": round(dispatch_s, 2),
                     "steps": n_steps,
                 }
 

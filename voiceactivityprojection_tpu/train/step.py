@@ -123,6 +123,49 @@ def make_train_step(conf: VapConfig, tx):
     return train_step
 
 
+def make_train_step_augmented(conf, tx, *, mono: bool = False, **aug_kw):
+    """Fused augment+train step: ONE jitted dispatch per training step.
+
+    Folds the per-step PRNG derivation (fold_in on state.step), the
+    device-side batch mutations (flip / vad-mask / noise / freq-mask,
+    train/augment.py augment_on_device), the loss/grad and the optimizer
+    update into a single executable. Motivation (measured on the v5e
+    tunnel, B=16 f32): per-step host-side key splits + separate
+    augment/step dispatches on freshly-uploaded batches ran at ~900
+    ms/step vs 75 ms for the same math on resident arrays — dispatch
+    latency and transfer serialization dominate, so the loop keeps
+    exactly one host->device put (pipelined one step ahead, see
+    train/loop.py) and one dispatch.
+
+    `choice` selects the noise/freq-mask branch (0 none, 1 noise, 2
+    freq-mask, 3 both; host-side pitch is applied before the put) and is
+    a traced scalar — all branches live in the one executable.
+    """
+    from voiceactivityprojection_tpu.train.augment import augment_on_device
+
+    lf = loss_fn_mono if mono else loss_fn
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def train_step(
+        state: TrainState,
+        batch: Dict[str, jax.Array],
+        base_key: jax.Array,
+        choice: jax.Array,
+    ):
+        k = jax.random.fold_in(base_key, state.step)
+        k1, k3 = jax.random.split(k)
+        batch = augment_on_device(batch, k1, choice, **aug_kw)
+        (loss, aux), grads = jax.value_and_grad(lf, has_aux=True)(
+            state.params, batch, conf, k3
+        )
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        metrics = {"loss": loss, **aux}
+        return TrainState(params, opt_state, state.step + 1), metrics
+
+    return train_step
+
+
 def loss_fn_mono(
     params: Params,
     batch: Dict[str, jax.Array],
