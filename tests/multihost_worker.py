@@ -1,14 +1,19 @@
-"""Worker process for the multi-host training test (spawned by
-tests/test_multihost.py, 2 processes x 4 virtual CPU devices).
+"""Worker process for the multi-host training tests/rehearsal (spawned by
+tests/test_multihost.py and examples/multihost_rehearsal.py).
 
-Runs ONE real stereo VAP training step over a process-spanning mesh:
-every process holds only its LOCAL batch slice (the per-host input
-pipeline contract, SURVEY.md §5.8), shard_batch assembles the global
-array, and XLA reduces gradients with psum across the Gloo-backed
-"DCN". Prints the resulting loss for the parent to compare.
+Runs real stereo VAP training steps over a process-spanning mesh: every
+process holds only its LOCAL batch slice (the per-host input pipeline
+contract, SURVEY.md §5.8), shard_batch assembles the global array, and
+XLA reduces gradients with psum across the Gloo-backed "DCN". Prints the
+resulting loss and (when steps > 1) the per-step time for the parent to
+compare/aggregate.
+
+Usage: multihost_worker.py PID PORT [N_PROCESSES] [N_STEPS]
+PID=-1 runs single-process (the baseline).
 """
 
 import sys
+import time
 
 import jax
 
@@ -18,10 +23,12 @@ jax.config.update("jax_platforms", "cpu")
 def main() -> None:
     pid = int(sys.argv[1])
     port = sys.argv[2]
+    n_proc = int(sys.argv[3]) if len(sys.argv) > 3 else 2
+    n_steps = int(sys.argv[4]) if len(sys.argv) > 4 else 1
     if pid >= 0:
         jax.distributed.initialize(
             coordinator_address=f"localhost:{port}",
-            num_processes=2,
+            num_processes=n_proc,
             process_id=pid,
         )
 
@@ -61,7 +68,18 @@ def main() -> None:
         batch = shard_batch(local, mesh)
         step = make_train_step(conf, tx)
         state, metrics = step(state, batch, jax.random.key(1))
-        print(f"RESULT loss={float(metrics['loss']):.6f}", flush=True)
+        loss0 = float(metrics["loss"])  # also syncs compile
+        step_ms = float("nan")
+        if n_steps > 1:
+            # steady-state timing: fixed rng per step index so every
+            # process dispatches identical programs
+            t0 = time.perf_counter()
+            for i in range(n_steps):
+                state, metrics = step(state, batch, jax.random.key(2 + i))
+            jax.block_until_ready(metrics)
+            float(metrics["loss"])
+            step_ms = 1e3 * (time.perf_counter() - t0) / n_steps
+        print(f"RESULT loss={loss0:.6f} step_ms={step_ms:.2f}", flush=True)
 
 
 if __name__ == "__main__":

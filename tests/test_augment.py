@@ -146,23 +146,37 @@ def test_augmentation_psola_mode_dispatch():
 
 def test_plan_branch_distribution_and_semantics():
     """plan() preserves the reference branch weights (25% each of pitch /
-    noise / freq-mask / all-three at probability=1) and returns semitones
-    only for the pitch-involving branches."""
-    aug = Augmentation(probability=1.0, seed=0)
+    noise / freq-mask / all-three at probability=1). In the default
+    vocoder mode the pitch branch is encoded in the composite choice
+    (choice // 4 indexes pitch_steps) with no host semitones; in psola /
+    resample modes it returns host semitones instead."""
+    aug = Augmentation(probability=1.0, seed=0)  # vocoder default
     counts = {0: 0, 1: 0, 2: 0, 3: 0}
     pitch_branches = 0
     for _ in range(400):
         semis, choice = aug.plan()
-        counts[choice] += 1
-        if semis is not None:
+        assert semis is None  # vocoder: pitch on device
+        pitch_idx, effect = choice // 4, choice % 4
+        counts[effect] += 1
+        if pitch_idx:
             pitch_branches += 1
-            assert 1 <= abs(semis) <= aug.max_pitch
-            assert choice in (0, 3)
-    # choice==0 collects both "pitch only" and nothing-at-p<1; here p=1 so
-    # 0 means the pitch-only branch (device identity)
+            steps = aug.pitch_steps[pitch_idx]
+            assert 1 <= abs(steps) <= aug.max_pitch
+            assert effect in (0, 3)
     for c in counts.values():
         assert 50 < c < 150, counts
     assert abs(pitch_branches - 200) < 60  # branches 0 and 3 carry pitch
+
+    host = Augmentation(probability=1.0, seed=0, pitch_mode="psola")
+    host_pitch = 0
+    for _ in range(200):
+        semis, choice = host.plan()
+        assert choice // 4 == 0  # host modes never use the device branch
+        if semis is not None:
+            host_pitch += 1
+            assert 1 <= abs(semis) <= host.max_pitch
+            assert choice % 4 in (0, 3)
+    assert host_pitch > 50
 
     off = Augmentation(probability=0.0, seed=0)
     for _ in range(10):
@@ -212,3 +226,58 @@ def test_augment_on_device_gates_off():
     )
     np.testing.assert_array_equal(np.asarray(out["waveform"]), np.asarray(b["waveform"]))
     np.testing.assert_array_equal(np.asarray(out["vad"]), np.asarray(b["vad"]))
+
+
+def test_device_pitch_shift_semantics():
+    """Phase-vocoder pitch shift (ops/pitchshift.py): duration unchanged,
+    F0 scaled by 2^(steps/12), tempo (AM envelope) preserved — the
+    reference's torchaudio-PitchShift semantics (vap/transforms.py:92-107)."""
+    from voiceactivityprojection_tpu.ops.pitchshift import pitch_shift_semitones
+    from voiceactivityprojection_tpu.ops.prosody import (
+        f0_statistics,
+        frame_rms,
+        pitch_track,
+    )
+
+    sr = 16_000
+    t = np.arange(sr) / sr
+    env = (1.0 + 0.5 * np.sin(2 * np.pi * 2.0 * t)).astype(np.float32)
+    x = (0.3 * np.sin(2 * np.pi * 150.0 * t) * env).astype(np.float32)
+
+    for steps in (1, 2, -2):
+        y = np.asarray(pitch_shift_semitones(jnp.asarray(x), steps))
+        assert y.shape == x.shape
+        f0, v = pitch_track(y)
+        mean, _, _ = f0_statistics(f0, v)
+        want = 150.0 * 2.0 ** (steps / 12.0)
+        assert abs(mean - want) / want < 0.02, (steps, mean, want)
+        rx, ry = frame_rms(x), frame_rms(y)
+        n = min(len(rx), len(ry))
+        rx, ry = rx[:n] - rx[:n].mean(), ry[:n] - ry[:n].mean()
+        corr = float((rx * ry).sum() / (np.linalg.norm(rx) * np.linalg.norm(ry) + 1e-9))
+        assert corr > 0.95, (steps, corr)
+
+
+def test_augment_on_device_pitch_branch():
+    """Composite choice: pitch branch via lax.switch equals a direct
+    pitch_shift_semitones call; pitch_steps=() never traces it."""
+    from voiceactivityprojection_tpu.train.augment import augment_on_device
+    from voiceactivityprojection_tpu.ops.pitchshift import pitch_shift_semitones
+
+    b = batch()
+    key = jax.random.key(7)
+    steps = (0, 1, 2, -1, -2)
+    kw = dict(
+        do_flip=False, flip_prob=0.5, do_mask=False, mask_prob=0.4,
+        noise_amplitude=0.01, sample_rate=16_000, frame_hz=50,
+        pitch_steps=steps,
+    )
+    # choice = effect 0 + 4 * pitch_idx 2 (=+2 semitones)
+    out = augment_on_device(b, key, 8, **kw)
+    want = pitch_shift_semitones(b["waveform"], 2)
+    np.testing.assert_allclose(
+        np.asarray(out["waveform"]), np.asarray(want), atol=1e-5
+    )
+    # pitch_idx 0 is the identity
+    out0 = augment_on_device(b, key, 0, **kw)
+    np.testing.assert_array_equal(np.asarray(out0["waveform"]), np.asarray(b["waveform"]))

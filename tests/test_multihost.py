@@ -29,7 +29,8 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def _run(pid: int, port: int, n_dev: int) -> subprocess.Popen:
+def _run(pid: int, port: int, n_dev: int, n_proc: int = 2,
+         n_steps: int = 1) -> subprocess.Popen:
     env = dict(
         os.environ,
         PYTHONPATH=f"{ROOT}:/root/.axon_site",
@@ -37,31 +38,41 @@ def _run(pid: int, port: int, n_dev: int) -> subprocess.Popen:
         VAP_PLATFORM="cpu",
     )
     return subprocess.Popen(
-        [sys.executable, WORKER, str(pid), str(port)],
+        [sys.executable, WORKER, str(pid), str(port), str(n_proc), str(n_steps)],
         env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
     )
 
 
-def _loss(out: str) -> float:
+def _result(out: str):
     for line in out.splitlines():
         if line.startswith("RESULT loss="):
-            return float(line.split("=")[1])
+            parts = dict(kv.split("=") for kv in line[len("RESULT "):].split())
+            return float(parts["loss"]), float(parts["step_ms"])
     raise AssertionError(f"no RESULT line in:\n{out[-3000:]}")
 
 
-def test_two_process_dp_matches_single_process():
+def _loss(out: str) -> float:
+    return _result(out)[0]
+
+
+@pytest.mark.parametrize("n_proc", [2, 4])
+def test_nproc_dp_matches_single_process(n_proc):
+    """N processes x (8/N) virtual devices each == the 8-device
+    single-process baseline, same global batch (the scaling-rehearsal
+    harness; examples/multihost_rehearsal.py reports the efficiency)."""
     port = _free_port()
-    p0 = _run(0, port, 4)
-    p1 = _run(1, port, 4)
-    out0, _ = p0.communicate(timeout=600)
-    out1, _ = p1.communicate(timeout=600)
-    assert p0.returncode == 0, out0[-3000:]
-    assert p1.returncode == 0, out1[-3000:]
+    procs = [_run(i, port, 8 // n_proc, n_proc) for i in range(n_proc)]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=600)
+        assert p.returncode == 0, out[-3000:]
+        outs.append(out)
 
     base = _run(-1, 0, 8)
     outb, _ = base.communicate(timeout=600)
     assert base.returncode == 0, outb[-3000:]
 
-    l0, l1, lb = _loss(out0), _loss(out1), _loss(outb)
-    assert l0 == l1, (l0, l1)  # both processes see the same global loss
-    assert abs(l0 - lb) < 1e-5, (l0, lb)  # equals single-process baseline
+    losses = [_loss(o) for o in outs]
+    lb = _loss(outb)
+    assert len(set(losses)) == 1, losses  # every process sees the global loss
+    assert abs(losses[0] - lb) < 1e-5, (losses[0], lb)

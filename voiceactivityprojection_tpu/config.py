@@ -188,9 +188,17 @@ class DataConfig(ArgparseMixin):
     flip_probability: float = 0.5
     mask_vad: bool = False
     mask_vad_probability: float = 0.4
-    # "resample" (fast, shifts tempo too) or "psola" (tempo-preserving
-    # TD-PSOLA, parity with torchaudio PitchShift semantics; host-side cost)
-    pitch_mode: str = "resample"
+    # pitch-shift augmentation implementation:
+    #   "vocoder"  (DEFAULT) — phase vocoder + resample ON DEVICE inside
+    #              the fused train step (ops/pitchshift.py); the same
+    #              algorithm as torchaudio's PitchShift, i.e. the
+    #              reference's default semantics (vap/transforms.py:92-107):
+    #              tempo/duration preserved, labels stay aligned.
+    #   "psola"    — host-side TD-PSOLA (tempo-preserving; ~0.2 s per 20 s
+    #              channel on host).
+    #   "resample" — host-side resample-and-crop (fast but shifts tempo,
+    #              de-aligning VAD labels; kept for comparison).
+    pitch_mode: str = "vocoder"
     batch_size: int = 16
     num_workers: int = 2
 

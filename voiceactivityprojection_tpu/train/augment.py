@@ -152,14 +152,24 @@ class Augmentation:
         max_pitch_semitones: int = 2,
         probability: float = 0.5,
         seed: int = 0,
-        pitch_mode: str = "resample",
+        pitch_mode: str = "vocoder",
     ):
-        if pitch_mode not in ("resample", "psola"):
-            raise ValueError(f"pitch_mode must be 'resample' or 'psola', got {pitch_mode!r}")
+        if pitch_mode not in ("vocoder", "resample", "psola"):
+            raise ValueError(
+                "pitch_mode must be 'vocoder', 'resample' or 'psola', "
+                f"got {pitch_mode!r}"
+            )
         self.noise_amplitude = noise_amplitude
         self.max_pitch = max_pitch_semitones
         self.probability = probability
         self.pitch_mode = pitch_mode
+        # device pitch-branch indices for lax.switch: 0 = off, then the
+        # semitone steps the reference samples from (vap/transforms.py:17)
+        self.pitch_steps = (
+            (0,)
+            + tuple(range(1, max_pitch_semitones + 1))
+            + tuple(range(-1, -max_pitch_semitones - 1, -1))
+        )
         self.np_rng = np.random.default_rng(seed)
 
     def _shift(self, waveform: jax.Array) -> jax.Array:
@@ -176,23 +186,33 @@ class Augmentation:
     def plan(self) -> tuple:
         """Draw this step's augmentation plan on the HOST rng (identical
         across processes when seeded identically, so multi-host takes the
-        same branch): returns (n_semitones | None, device_choice) where
-        device_choice indexes `augment_on_device`'s lax.switch branches
-        {0: none, 1: noise, 2: freq-mask, 3: freq-mask -> noise}. The
-        pitch shift is host-side resampling and is applied BEFORE the
-        single host->device put (see train/loop.py); reference branch
-        weights are preserved (vap/transforms.py:58-70): 25% pitch, 25%
-        noise, 25% freq-mask, 25% all three (pitch -> mask -> noise)."""
+        same branch): returns (host_semitones | None, device_choice).
+
+        device_choice is a composite index decoded by `augment_on_device`:
+        effect = choice % 4 in {0: none, 1: noise, 2: freq-mask,
+        3: freq-mask -> noise} and pitch = choice // 4 indexing
+        PITCH_STEPS (vocoder mode only — the phase-vocoder shift runs on
+        device inside the fused step). In "psola"/"resample" modes the
+        pitch branch instead returns host_semitones, applied to numpy
+        BEFORE the single host->device put (train/loop.py). Reference
+        branch weights preserved (vap/transforms.py:58-70): 25% pitch,
+        25% noise, 25% freq-mask, 25% all three (pitch -> mask -> noise).
+        """
         if self.np_rng.random() >= self.probability:
             return None, 0
         choice = int(self.np_rng.integers(0, 4))
         semis = None
+        pitch_idx = 0
         if choice in (0, 3):
-            semis = float(self.np_rng.integers(1, self.max_pitch + 1)) * (
+            steps = int(self.np_rng.integers(1, self.max_pitch + 1)) * (
                 1 if self.np_rng.random() < 0.5 else -1
             )
-        # branch 0 is pitch-only: its device part is the identity
-        return semis, (0 if choice == 0 else choice)
+            if self.pitch_mode == "vocoder":
+                pitch_idx = self.pitch_steps.index(steps)
+            else:
+                semis = float(steps)
+        effect = 0 if choice == 0 else choice
+        return semis, effect + 4 * pitch_idx
 
     def apply_pitch_host(self, waveform: np.ndarray, n_semitones: float) -> np.ndarray:
         """Host-side pitch shift (numpy in/out, no device traffic)."""
@@ -201,15 +221,22 @@ class Augmentation:
 
     def __call__(self, batch: Dict, key: jax.Array) -> Dict:
         semis, choice = self.plan()
+        pitch_idx, effect = choice // 4, choice % 4
         out = dict(batch)
         w = jnp.asarray(batch["waveform"])
         if semis is not None:
             w = jnp.asarray(self.apply_pitch_host(np.asarray(w), semis))
-        if choice == 1:
+        elif pitch_idx:
+            from voiceactivityprojection_tpu.ops.pitchshift import (
+                pitch_shift_semitones,
+            )
+
+            w = pitch_shift_semitones(w, self.pitch_steps[pitch_idx])
+        if effect == 1:
             w = add_gaussian_noise(w, key, self.noise_amplitude)
-        elif choice == 2:
+        elif effect == 2:
             w = frequency_mask(w, key)
-        elif choice == 3:
+        elif effect == 3:
             k1, k2 = jax.random.split(key)
             w = frequency_mask(w, k1)
             w = add_gaussian_noise(w, k2, self.noise_amplitude)
@@ -221,7 +248,7 @@ class Augmentation:
     jax.jit,
     static_argnames=(
         "do_flip", "flip_prob", "do_mask", "mask_prob",
-        "noise_amplitude", "sample_rate", "frame_hz",
+        "noise_amplitude", "sample_rate", "frame_hz", "pitch_steps",
     ),
 )
 def augment_on_device(
@@ -236,15 +263,19 @@ def augment_on_device(
     noise_amplitude: float,
     sample_rate: int,
     frame_hz: int,
+    pitch_steps: tuple = (),
 ) -> Dict[str, jax.Array]:
     """All device-side batch mutations in ONE jitted dispatch, applied to
     the already-sharded batch: channel flip (vap/callbacks.py:44-66), VAD
-    masking, and the noise/freq-mask augmentation branch selected by
-    `choice` (0 none, 1 noise, 2 freq-mask, 3 freq-mask -> noise). The
-    host-side pitch branch runs before the host->device put, so the train
-    loop never fetches the batch back from the device (the previous flow's
-    device->host->numpy->device round-trip cost a full batch transfer per
-    step — ~40 MB at B=16 — on the TPU tunnel)."""
+    masking, then the composite augmentation `choice`:
+    ``effect = choice % 4`` in {0 none, 1 noise, 2 freq-mask, 3 freq-mask
+    -> noise} and ``pitch = choice // 4`` indexing `pitch_steps` (0 = no
+    shift; phase-vocoder pitch shift ops/pitchshift.py — the reference's
+    torchaudio-PitchShift semantics, run on device). With pitch_steps=()
+    the pitch switch is not traced at all (host pitch modes / tests).
+    The train loop never fetches the batch back from the device (the
+    previous flow's device->host->numpy->device round-trip cost a full
+    batch transfer per step — ~40 MB at B=16 — on the TPU tunnel)."""
     k1, k2, k3, k4 = jax.random.split(key, 4)
     if do_flip:
         batch = flip_channels(batch, k1, flip_prob)
@@ -253,6 +284,21 @@ def augment_on_device(
             batch, k2, mask_prob, sample_rate=sample_rate, frame_hz=frame_hz
         )
     wf = batch["waveform"]
+    choice = jnp.asarray(choice, jnp.int32)
+
+    if len(pitch_steps) > 1:
+        from voiceactivityprojection_tpu.ops.pitchshift import (
+            pitch_shift_semitones,
+        )
+
+        def mk_pitch(steps):
+            if steps == 0:
+                return lambda w: w
+            return lambda w: pitch_shift_semitones(w, steps, sample_rate)
+
+        wf = jax.lax.switch(
+            choice // 4, [mk_pitch(s) for s in pitch_steps], wf
+        )
 
     def none_fn(w):
         return w
@@ -267,7 +313,7 @@ def augment_on_device(
         return add_gaussian_noise(frequency_mask(w, k4), k3, noise_amplitude)
 
     wf = jax.lax.switch(
-        jnp.asarray(choice, jnp.int32), [none_fn, noise_fn, fmask_fn, both_fn], wf
+        choice % 4, [none_fn, noise_fn, fmask_fn, both_fn], wf
     )
     out = dict(batch)
     out["waveform"] = wf

@@ -170,6 +170,14 @@ class Trainer:
             noise_amplitude=self.augment.noise_amplitude,
             sample_rate=self.data_conf.sample_rate,
             frame_hz=self.data_conf.frame_hz,
+            # vocoder mode: the tempo-preserving pitch shift runs on
+            # device inside the fused step (ops/pitchshift.py); host
+            # pitch modes pass () so the branch isn't traced
+            pitch_steps=(
+                self.augment.pitch_steps
+                if self.augment.pitch_mode == "vocoder"
+                else ()
+            ),
         )
         self.eval_step = (
             make_eval_step_mono(self.model_conf)
