@@ -98,6 +98,13 @@ def make_target(name):
         x = jnp.asarray(rng.normal(size=(128, 320_000)).astype(np.float32) * 0.1, bf)
         f = jax.jit(lambda a: fused_conv_stack(enc, a))
         return (lambda: f(x)), ""
+    if name == "noop":
+        # dispatch-latency floor: a trivial jitted op measured with the
+        # same chained-dispatch harness — the lower bound any per-hop
+        # number can reach on this backend
+        x = jnp.ones((8, 128), jnp.float32)
+        f = jax.jit(lambda a: (a + 1.0).sum())
+        return (lambda: f(x)), ""
     if name in ("kv_hop", "kv_batch", "window_hop"):
         # streaming transformer cost per 1-frame hop at the full 20 s
         # context: per-layer K/V caches (1 or 64 concurrent streams) vs
@@ -121,7 +128,7 @@ def make_target(name):
                 init_kv_state,
             )
 
-            S = 64 if name == "kv_batch" else 1
+            S = int(os.environ.get("VAP_KV_STREAMS", "64")) if name == "kv_batch" else 1
             state = init_kv_state(conf, T, streams=S)
             state["n"] = jnp.full((S,), T, jnp.int32)  # steady: rings full
             feats = jnp.asarray(rng.normal(size=(S, 2, 1, conf.dim)), jnp.float32)
@@ -134,7 +141,7 @@ def make_target(name):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("target", choices=["attn_single", "gru", "encoder", "conv_stack", "kv_hop", "kv_batch", "window_hop"])
+    ap.add_argument("target", choices=["attn_single", "gru", "encoder", "conv_stack", "kv_hop", "kv_batch", "window_hop", "noop"])
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--warmup", type=int, default=8)
     args = ap.parse_args()
