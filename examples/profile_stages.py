@@ -8,12 +8,15 @@ than stale numbers. Prints one line per stage.
 Usage: python examples/profile_stages.py [batch]
 """
 
+import os
 import sys
 import time
 
 import numpy as np
 import jax
 import jax.numpy as jnp
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from voiceactivityprojection_tpu.utils.runtime import setup_runtime
 

@@ -30,7 +30,12 @@ Semantics
   recompute — which truncates the INPUT and rebuilds everything from it —
   cached layer-L states carry history of up to L*context_frames frames,
   with ALiBi extrapolating the longer relative distances (the property it
-  was designed for, reference modules.py:113-158).
+  was designed for, reference modules.py:113-158). MEASURED post-fill
+  divergence vs window recompute (tests/test_streaming_kv.py drift
+  test): ~1e-7 on p_now over 3x-context dialogs, and still ~1e-5 with
+  q/k weights scaled 1000x — the slots whose cached values structurally
+  differ (the oldest) are exactly the ones ALiBi down-weights hardest in
+  the consuming row, so the two modes are numerically interchangeable.
 
 Parity-sensitive details mirrored from ops/attention.py / models/
 transformer.py: full-dim 1/sqrt(dim) score scale (modules.py:52),
