@@ -208,3 +208,58 @@ def test_graft_entry_dryrun():
     out = jax.eval_shape(fn, *args)
     assert out["logits"].shape == (1, 100, 256)
     g.dryrun_multichip(8)
+
+
+def test_augmented_step_matches_manual_compose():
+    """make_train_step_augmented == fold_in/split + augment_on_device +
+    value_and_grad(loss_fn) + optax update, with the same subkeys (the
+    single-dispatch pipeline must not change training math)."""
+    import optax
+
+    from voiceactivityprojection_tpu.train.augment import augment_on_device
+    from voiceactivityprojection_tpu.train.step import (
+        TrainState,
+        init_train_state,
+        loss_fn,
+        make_optimizer,
+        make_train_step_augmented,
+    )
+    from voiceactivityprojection_tpu.config import OptConfig, VapConfig
+    from voiceactivityprojection_tpu.models.vap import init_vap
+
+    conf = VapConfig(dim=16, encoder_dim=16, channel_layers=1, cross_layers=1)
+    params = init_vap(jax.random.key(0), conf)
+    tx = make_optimizer(OptConfig(), conf.freeze_encoder)
+    kw = dict(
+        do_flip=True, flip_prob=0.5, do_mask=False, mask_prob=0.4,
+        noise_amplitude=0.01, sample_rate=16_000, frame_hz=50,
+    )
+    step = make_train_step_augmented(conf, tx, mono=False, **kw)
+
+    rng = np.random.default_rng(0)
+    batch = {
+        "waveform": jnp.asarray((rng.normal(size=(2, 2, 16000)) * 0.1).astype(np.float32)),
+        "vad": jnp.asarray((rng.random((2, 150, 2)) < 0.5).astype(np.float32)),
+    }
+    base = jax.random.key(9)
+    choice = 1  # noise branch
+
+    # manual compose FIRST with identical key derivation (the fused step
+    # donates its state, which aliases `params`' buffers)
+    k = jax.random.fold_in(base, 0)  # state.step starts at 0
+    k1, k3 = jax.random.split(k)
+    aug = augment_on_device(dict(batch), k1, choice, **kw)
+    (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        params, aug, conf, k3
+    )
+    opt_state0 = tx.init(params)
+    updates, _ = tx.update(grads, opt_state0, params)
+    want = optax.apply_updates(params, updates)
+    want_leaf = np.asarray(want["vap_head"]["w"]).copy()
+
+    state = init_train_state(params, tx)
+    state2, metrics = step(state, dict(batch), base, choice)
+    np.testing.assert_allclose(float(metrics["loss"]), float(loss), rtol=1e-6)
+    got_leaf = np.asarray(state2.params["vap_head"]["w"])
+    np.testing.assert_allclose(got_leaf, want_leaf, atol=1e-6)
+    assert int(state2.step) == 1
