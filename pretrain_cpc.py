@@ -51,6 +51,11 @@ def main() -> None:
     parser.add_argument("--save_every", type=int, default=5000)
     parser.add_argument("--out_dir", type=str, default="cpc_runs")
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument(
+        "--export_blob", action="store_true",
+        help="also write cpc_blob.pt in the libri-light checkpoint format "
+        "(consumable by the reference's load_CPC; needs torch)",
+    )
     args = parser.parse_args()
 
     os.makedirs(args.out_dir, exist_ok=True)
@@ -110,6 +115,17 @@ def main() -> None:
                 path = os.path.abspath(os.path.join(args.out_dir, "cpc_encoder"))
                 save_checkpoint(path, {"encoder": state.encoder})
                 print(f"saved -> {path}")
+                if args.export_blob:
+                    # libri-light on-disk format: the reference's own
+                    # load_CPC (and our train.py --init_encoder_from) can
+                    # consume this encoder directly
+                    from voiceactivityprojection_tpu.models.checkpoint import (
+                        export_cpc_blob,
+                    )
+
+                    blob = os.path.join(args.out_dir, "cpc_blob.pt")
+                    export_cpc_blob(state.encoder, blob)
+                    print(f"exported blob -> {blob}")
 
 
 if __name__ == "__main__":

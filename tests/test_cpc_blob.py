@@ -183,3 +183,41 @@ def test_trainer_grafts_cpc_blob(ec, tmp_path):
     np.testing.assert_array_equal(
         np.asarray(params["encoder"]["downsample"]["conv"]["w"]), before_ds
     )
+
+
+@needs_ref
+def test_export_cpc_blob_roundtrip(ec, tmp_path):
+    """Our encoder exported in the libri-light on-disk format is (a)
+    re-imported identically by load_cpc_blob and (b) consumable by the
+    reference's own load_CPC with matching forward outputs — so encoders
+    pretrained in this framework work for reference users."""
+    import jax
+
+    from voiceactivityprojection_tpu.models.checkpoint import (
+        export_cpc_blob,
+        load_cpc_blob,
+    )
+    from voiceactivityprojection_tpu.models.encoder import _conv_stack, init_encoder
+    from voiceactivityprojection_tpu.ops.gru import gru
+
+    enc = init_encoder(jax.random.key(42), 256)
+    blob = tmp_path / "exported.pt"
+    export_cpc_blob(enc, str(blob))
+
+    back = load_cpc_blob(str(blob))
+    for a, b in zip(
+        jax.tree.leaves({"gEncoder": enc["gEncoder"], "gAR": enc["gAR"]}),
+        jax.tree.leaves(back),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    ec.CHECKPOINTS["cpc"] = str(blob)
+    ref = ec.load_CPC(load_state_dict=True).eval()
+    rng = np.random.default_rng(1)
+    wav = (rng.normal(size=(1, 1, 8000)) * 0.1).astype(np.float32)
+    with torch.no_grad():
+        c_feature, encoded, _ = ref(torch.from_numpy(wav), None)
+    z = _conv_stack(enc, jnp.asarray(wav)[:, 0, :, None])
+    np.testing.assert_allclose(np.asarray(z), encoded.numpy(), atol=2e-5)
+    seq, _ = gru(enc["gAR"], z)
+    np.testing.assert_allclose(np.asarray(seq), c_feature.numpy(), atol=2e-5)

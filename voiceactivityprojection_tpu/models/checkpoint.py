@@ -252,6 +252,52 @@ def load_cpc_blob(path: str) -> Params:
     return import_cpc_checkpoint(weights)
 
 
+def export_cpc_blob(encoder_params: Params, path: str) -> None:
+    """Inverse of `load_cpc_blob`: write an encoder pytree (gEncoder + gAR
+    subtrees, e.g. from pretrain_cpc.py) as a checkpoint in the EXACT
+    libri-light on-disk format ({"config": namespace dict, "weights":
+    CPCModel state dict}, encoder_components.py:371-402) — so an encoder
+    pretrained IN THIS FRAMEWORK can be consumed by the reference's own
+    `load_CPC` (round-trip tested in tests/test_cpc_blob.py)."""
+    import torch
+
+    weights: Dict[str, Any] = {}
+    for i, layer in enumerate(encoder_params["gEncoder"]):
+        weights[f"gEncoder.conv{i}.weight"] = torch.from_numpy(
+            np.asarray(layer["conv"]["w"]).transpose(2, 1, 0).copy()
+        )
+        weights[f"gEncoder.conv{i}.bias"] = torch.from_numpy(
+            np.asarray(layer["conv"]["b"]).copy()
+        )
+        weights[f"gEncoder.batchNorm{i}.weight"] = torch.from_numpy(
+            np.asarray(layer["norm"]["w"]).reshape(1, -1, 1).copy()
+        )
+        weights[f"gEncoder.batchNorm{i}.bias"] = torch.from_numpy(
+            np.asarray(layer["norm"]["b"]).reshape(1, -1, 1).copy()
+        )
+    gar = encoder_params["gAR"]
+    weights["gAR.baseNet.weight_ih_l0"] = torch.from_numpy(
+        np.asarray(gar["w_ih"]).T.copy()
+    )
+    weights["gAR.baseNet.weight_hh_l0"] = torch.from_numpy(
+        np.asarray(gar["w_hh"]).T.copy()
+    )
+    weights["gAR.baseNet.bias_ih_l0"] = torch.from_numpy(
+        np.asarray(gar["b_ih"]).copy()
+    )
+    weights["gAR.baseNet.bias_hh_l0"] = torch.from_numpy(
+        np.asarray(gar["b_hh"]).copy()
+    )
+    dim = int(np.asarray(gar["w_hh"]).shape[0])
+    config = dict(
+        CPC_ARCH_DEFAULTS,
+        arMode="GRU",
+        hiddenEncoder=dim,
+        hiddenGar=dim,
+    )
+    torch.save({"config": config, "weights": weights}, path)
+
+
 def import_vap_state_dict(sd: Mapping[str, np.ndarray], conf: VapConfig) -> Params:
     """Full reference VapGPT state dict -> VapModel param pytree."""
     params: Params = {"encoder": import_encoder_state_dict(sd, "encoder")}
