@@ -44,7 +44,12 @@ def main() -> None:
     parser.add_argument("--chunk_time", type=float, default=20.0)
     parser.add_argument("--max_wait_ms", type=float, default=25.0)
     parser.add_argument("--mode", choices=["batch", "stream"], default="batch")
-    parser.add_argument("--streams", type=int, default=16)
+    parser.add_argument(
+        "--streams", type=int, default=16,
+        help="concurrent dialog slots per dispatch; measured v5e frontier: "
+        "~0.13 ms/stream-hop sustained through 256 streams, real-time "
+        "(50 hops/s per dialog) feasible through ~128 streams/chip",
+    )
     parser.add_argument("--context_time", type=float, default=20.0)
     parser.add_argument("--hop_frames", type=int, default=1)
     VapConfig.add_argparse_args(parser)
