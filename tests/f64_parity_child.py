@@ -232,12 +232,61 @@ def run_cpc_blob(ec):
     check("cpc.cFeature", seq, c_feature, 1e-9)
 
 
+def run_extraction(ref_model):
+    """L7 chunked sliding-window extraction in f64: our batched
+    VapExtractor vs the reference's sequential step_extraction
+    (run.py:23-131) with identical weights on a 36.5 s waveform."""
+    import importlib.util
+
+    # run.py -> plot_utils -> phrases.functional imports parselmouth
+    for name in ("parselmouth", "parselmouth.praat"):
+        sys.modules.setdefault(name, types.ModuleType(name))
+    if not hasattr(sys.modules["parselmouth"], "praat"):
+        sys.modules["parselmouth"].praat = sys.modules["parselmouth.praat"]
+    if not hasattr(sys.modules["parselmouth.praat"], "call"):
+        sys.modules["parselmouth.praat"].call = lambda *a, **k: None
+    if not hasattr(sys.modules["parselmouth"], "Sound"):
+        sys.modules["parselmouth"].Sound = type("Sound", (), {})
+    spec = importlib.util.spec_from_file_location(
+        "ref_run", os.path.join(REF, "run.py")
+    )
+    ref_run = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ref_run)
+
+    from voiceactivityprojection_tpu.config import VapConfig
+    from voiceactivityprojection_tpu.inference.extraction import VapExtractor
+    from voiceactivityprojection_tpu.models.checkpoint import export_vap_state_dict
+    from voiceactivityprojection_tpu.models.vap import VapModel, init_vap
+
+    conf = VapConfig()
+    params = round_f32(init_vap(jax.random.key(5), conf))
+    ours = VapModel(conf, to_f64(params))
+    ex = VapExtractor(ours, context_time=20.0, step_time=5.0, chunk_batch=4)
+
+    sd = {
+        k: torch.from_numpy(np.asarray(v, dtype=np.float32).copy())
+        for k, v in export_vap_state_dict(params).items()
+    }
+    ref = ref_model.VapGPT(ref_model.VapConfig())
+    ref.load_state_dict(sd, strict=False)
+    ref = ref.double().eval()
+
+    rng = np.random.default_rng(4)
+    wav = rng.normal(size=(1, 2, int(16000 * 36.5))) * 0.1  # float64
+    with torch.no_grad():
+        out_ref = ref_run.step_extraction(torch.from_numpy(wav), ref, pbar=False)
+    out_ours = ex.step_extraction(wav)
+    for key, atol in (("p_now", 1e-10), ("p_future", 1e-10), ("H", 1e-9)):
+        check(f"extract.{key}", out_ours[key], out_ref[key], atol)
+
+
 def main():
     torch.set_num_threads(2)
     ec, ref_model = setup_reference()
     run_stereo(ref_model)
     run_mono(ref_model)
     run_cpc_blob(ec)
+    run_extraction(ref_model)
     if FAILED:
         print("FAILED:", FAILED)
         sys.exit(1)

@@ -54,5 +54,6 @@ def test_f64_parity_chain():
         "mono.logits",
         "cpc.encodedData",
         "cpc.cFeature",
+        "extract.p_now",
     ):
         assert f"CHECK {name}" in proc.stdout, proc.stdout
