@@ -50,7 +50,6 @@ from voiceactivityprojection_tpu.train.step import (
     init_train_state,
     make_eval_step,
     make_optimizer,
-    make_train_step,
 )
 
 
