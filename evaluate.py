@@ -70,6 +70,8 @@ def main() -> None:
         ),
         batch_size=data_conf.batch_size,
         shuffle=False,
+        # evaluation must see every window: keep the ragged tail batch
+        drop_last=False,
     )
     thresholds = None
     if args.thresholds:

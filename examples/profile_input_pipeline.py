@@ -6,7 +6,8 @@ Measures, on a real on-disk corpus, everything the device does NOT do:
      (data/dataset.py), reported as audio-seconds/s and ms/batch;
   2. event extraction — TurnTakingEvents on each batch's VAD
      (events/events.py), ms/batch, as run in every val epoch;
-  3. augmentation — flip_channels + Augmentation, ms/batch.
+  3. flip_channels cost, ms/batch (the other augmentations run inside
+     the fused train step on device).
 
 Compare against the measured device step (62 ms @ B=16 on v5e): the
 pipeline is "training-scale ready" when loader ms/batch << step time so
@@ -46,7 +47,7 @@ def main():
         VapDataLoader,
     )
     from voiceactivityprojection_tpu.events.events import TurnTakingEvents
-    from voiceactivityprojection_tpu.train.augment import Augmentation, flip_channels
+    from voiceactivityprojection_tpu.train.augment import flip_channels
 
     ds = SlidingWindowDataset(args.csv, audio_duration=args.audio_duration)
     loader = VapDataLoader(
@@ -64,13 +65,15 @@ def main():
     first = next(it)  # warm caches (vad json, file handles)
     t0 = time.perf_counter()
     batches = []
-    for i, b in enumerate(it):
-        if i + 1 >= n:
-            break
+    got = 0
+    for b in it:
+        got += 1
         if len(batches) < 8:
             batches.append(b)
+        if got + 1 >= n:
+            break
     dt = time.perf_counter() - t0
-    got = i + 1
+    got = max(got, 1)
     loader_ms = 1e3 * dt / got
     loader_audio_sps = got * audio_s_per_batch / dt
     print(
@@ -93,10 +96,10 @@ def main():
     ev_ms = 1e3 * (time.perf_counter() - t0) / reps
     print(f"events: {ev_ms:.1f} ms/batch ({reps} reps)")
 
-    # ---- 3. augmentation (train-epoch host+device work, CPU here)
+    # ---- 3. batch mutation cost (flip; the rest runs inside the fused
+    # train step on device, see train/augment.py augment_on_device)
     import jax.numpy as jnp
 
-    aug = Augmentation.from_data_conf(None) if hasattr(Augmentation, "from_data_conf") else None
     key = jax.random.key(0)
     jb = {k: jnp.asarray(v) for k, v in batches[0].items() if k != "session"}
     flip_channels(jb, key, 0.5)["waveform"].block_until_ready()
@@ -110,7 +113,6 @@ def main():
     print(f"flip_channels: {flip_ms:.1f} ms/batch")
 
     step_ms = 62.0  # measured v5e train step @ B=16 (PARITY.md)
-    per_batch_host = ev_ms  # events only run in val; loader overlaps via prefetch
     print(
         f"\nsummary: loader {loader_ms:.1f} ms/batch vs device step "
         f"{step_ms:.0f} ms — {'HIDDEN by prefetch' if loader_ms < step_ms else 'LOADER-BOUND'}"

@@ -145,3 +145,43 @@ def test_keep_rate_statistics():
     rate = 0.25
     m = np.asarray(oracle_mask(jnp.asarray(3, jnp.int32), rate))
     assert abs(m.mean() - (1 - rate)) < 0.01
+
+
+def test_block_clamp_mid_range_lengths():
+    """Regression (round-2 review): with dtype-aware backward blocks
+    (1024/512 at f32), lengths whose 128-padded size is NOT a power of
+    two (e.g. T=750 -> 768) must still satisfy the grid divisibility —
+    _clamp_blocks keeps block_k a divisor of block_q."""
+    import math as _math
+
+    from voiceactivityprojection_tpu.ops.flash_alibi_train import (
+        _clamp_blocks,
+        flash_alibi_attention_train,
+    )
+
+    for T in (130, 513, 640, 750, 896, 1000, 1024):
+        for bq, bk in ((1024, 1024), (1024, 512)):
+            cq, ck = _clamp_blocks(T, bq, bk)
+            assert cq % ck == 0, (T, bq, bk, cq, ck)
+            tp = T + ((-T) % cq)
+            assert tp % cq == 0 and tp % ck == 0
+
+    # end to end: f32 with dropout (train path) at the T=750 shape that
+    # crashed the assert before the fix
+    rng = np.random.default_rng(0)
+    B, H, T, Dh = 1, 2, 750, 32
+    q, k, v = (
+        jnp.asarray(rng.normal(size=(B, H, T, Dh)).astype(np.float32))
+        for _ in range(3)
+    )
+    slopes = jnp.asarray([0.25, 0.0625], jnp.float32)
+    seed = jnp.int32(7)
+
+    def loss(q):
+        return flash_alibi_attention_train(
+            q, k, v, slopes, seed, 1.0 / 8.0, 0.1
+        ).sum()
+
+    val, grad = jax.value_and_grad(loss)(q)
+    assert np.isfinite(float(val))
+    assert np.all(np.isfinite(np.asarray(grad)))

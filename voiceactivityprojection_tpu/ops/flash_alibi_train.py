@@ -32,6 +32,7 @@ modules.py:116-121).
 from __future__ import annotations
 
 import functools
+import math
 
 import numpy as np
 
@@ -48,18 +49,33 @@ NEG_INF = -1e30
 LANES = 128
 # one block pair per (b,h) at the 1024-frame training shape: measured on
 # v5e the 1024/1024 blocking beats smaller blocks for the forward (grid
-# overhead dominates); the backward reuses it. Dtype-aware: at f32 the
-# dkv backward's double-buffered 1024-blocks exceed the 16 MB scoped-VMEM
+# overhead dominates). Dtype-aware BACKWARD blocking: at f32 the dkv
+# backward's double-buffered 1024-blocks exceed the 16 MB scoped-VMEM
 # limit (observed: 16.20M vs 16.00M on a v5e train step at B=16, T=1000),
-# so f32 halves block_k.
+# so the backward halves block_k for 4-byte dtypes; the forward keeps the
+# measured-optimal full blocks.
 DEFAULT_BLOCK_Q = 1024
 DEFAULT_BLOCK_K = 1024
 
 
-def _default_blocks(dtype) -> tuple:
+def _bwd_blocks(dtype) -> tuple:
     if jnp.dtype(dtype).itemsize >= 4:
         return DEFAULT_BLOCK_Q, DEFAULT_BLOCK_K // 2
     return DEFAULT_BLOCK_Q, DEFAULT_BLOCK_K
+
+
+def _clamp_blocks(T: int, block_q: int, block_k: int) -> tuple:
+    """Clamp blocks to the 128-padded length and keep block_k a DIVISOR
+    of block_q, so padding to a block_q multiple satisfies both grid
+    divisibility constraints (t128 is a multiple of 128, not necessarily
+    a power of two: T=750 -> t128=768, and 512 does not divide 768 —
+    gcd(768, 512)=256 does)."""
+    t128 = -(-T // 128) * 128
+    block_q = min(block_q, t128)
+    block_k = min(block_k, t128)
+    if block_q % block_k:
+        block_k = math.gcd(block_q, block_k)
+    return block_q, block_k
 
 
 def _hash_keep(gbh, gq, gk, seed, thresh):
@@ -166,19 +182,13 @@ def _fwd_kernel(
 
 
 def _flash_train_forward(q, k, v, slopes, seed, scale, rate,
-                         block_q=None, block_k=None):
-    if block_q is None or block_k is None:
-        dbq, dbk = _default_blocks(q.dtype)
-        block_q = dbq if block_q is None else block_q
-        block_k = dbk if block_k is None else block_k
+                         block_q=DEFAULT_BLOCK_Q, block_k=DEFAULT_BLOCK_K):
     B, H, T, Dh = q.shape
-    t128 = -(-T // 128) * 128
-    block_q = min(block_q, t128)
-    block_k = min(block_k, t128)
-    pad = (-T) % max(block_q, block_k)
+    block_q, block_k = _clamp_blocks(T, block_q, block_k)
+    pad = (-T) % block_q  # block_k divides block_q (see _clamp_blocks)
     assert (T + pad) % block_q == 0 and (T + pad) % block_k == 0, (
         f"block_q={block_q}/block_k={block_k} must both divide the padded "
-        f"length {T + pad} (use power-of-two blocks)"
+        f"length {T + pad}"
     )
     if pad:
         zp = [(0, 0), (0, 0), (0, pad), (0, 0)]
@@ -356,17 +366,15 @@ def _bwd_dkv_kernel(
 def _flash_train_backward(q, k, v, slopes, seed, out, lse, g, scale, rate,
                           block_q=None, block_k=None):
     if block_q is None or block_k is None:
-        dbq, dbk = _default_blocks(q.dtype)
+        dbq, dbk = _bwd_blocks(q.dtype)
         block_q = dbq if block_q is None else block_q
         block_k = dbk if block_k is None else block_k
     B, H, T, Dh = q.shape
-    t128 = -(-T // 128) * 128
-    block_q = min(block_q, t128)
-    block_k = min(block_k, t128)
-    pad = (-T) % max(block_q, block_k)
+    block_q, block_k = _clamp_blocks(T, block_q, block_k)
+    pad = (-T) % block_q  # block_k divides block_q (see _clamp_blocks)
     assert (T + pad) % block_q == 0 and (T + pad) % block_k == 0, (
         f"block_q={block_q}/block_k={block_k} must both divide the padded "
-        f"length {T + pad} (use power-of-two blocks)"
+        f"length {T + pad}"
     )
     delta = jnp.sum(
         g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1

@@ -92,6 +92,8 @@ def pitch_track(
     energy = ac0 / frame_len
 
     T = len(frames)
+    if T == 0:  # sub-frame input: no frames, no pitch (no crash)
+        return np.zeros(0, np.float32), np.zeros(0, bool)
     band = norm_ac[:, lag_min : lag_max + 1]
     nc = n_candidates
     cands = np.zeros((T, nc), dtype=np.float64)     # candidate f0 (0 = none)

@@ -172,17 +172,6 @@ class Augmentation:
         )
         self.np_rng = np.random.default_rng(seed)
 
-    def _shift(self, waveform: jax.Array) -> jax.Array:
-        # integer semitone steps like the reference's pitch_steps
-        # [-2, -1, 1, 2] (vap/transforms.py:17)
-        semis = float(self.np_rng.integers(1, self.max_pitch + 1)) * (
-            1 if self.np_rng.random() < 0.5 else -1
-        )
-        shift = (
-            psola_pitch_shift if self.pitch_mode == "psola" else naive_pitch_shift
-        )
-        return jnp.asarray(shift(np.asarray(waveform), semis))
-
     def plan(self) -> tuple:
         """Draw this step's augmentation plan on the HOST rng (identical
         across processes when seeded identically, so multi-host takes the
