@@ -34,11 +34,22 @@ from voiceactivityprojection_tpu.ops.vad import vad_list_to_onehot, get_vad_list
 from voiceactivityprojection_tpu.utils.io import read_json
 
 
-@functools.lru_cache(maxsize=64)
+@functools.lru_cache(maxsize=None)
 def _read_vad_list(path: str):
     """Sessions are read-only and each yields many windows — parse the
-    (potentially multi-thousand-segment) vad JSON once, not per window."""
+    (potentially multi-thousand-segment) vad JSON once, not per window.
+
+    Unbounded on purpose: a bounded LRU sized below the corpus thrashes
+    under shuffled access (every window misses once the session count
+    exceeds the cap — observed as a silent trap at the 400-session scale).
+    Parsed vad lists are small (tens of KB per hour of dialog), so even a
+    10k-session corpus stays well under a GB; `clear_vad_cache()` is the
+    explicit release valve for long-lived processes that cycle corpora."""
     return read_json(path)
+
+
+def clear_vad_cache() -> None:
+    _read_vad_list.cache_clear()
 
 
 class SlidingWindowDataset:

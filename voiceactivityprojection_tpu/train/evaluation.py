@@ -113,9 +113,15 @@ class EvaluationCollector:
         self.vad_losses.append(vad_loss)
 
     def compute(self, threshold_search: bool = True) -> Dict[str, float]:
+        def _mean_known(xs: List[float]) -> float:
+            # callers that don't track losses push NaN placeholders; an
+            # all-NaN list is "no losses recorded", not a warning
+            known = [x for x in xs if not np.isnan(x)]
+            return float(np.mean(known)) if known else float("nan")
+
         out: Dict[str, float] = {
-            "test_loss": float(np.nanmean(self.vap_losses)) if self.vap_losses else float("nan"),
-            "test_loss_va": float(np.nanmean(self.vad_losses)) if self.vad_losses else float("nan"),
+            "test_loss": _mean_known(self.vap_losses),
+            "test_loss_va": _mean_known(self.vad_losses),
         }
         out.update({f"test_{k}": v for k, v in self.metrics.compute().items()})
         self.curves: Dict[str, Dict[str, np.ndarray]] = {}

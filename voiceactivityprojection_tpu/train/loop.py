@@ -50,6 +50,7 @@ from voiceactivityprojection_tpu.train.step import (
     init_train_state,
     make_eval_step,
     make_optimizer,
+    set_learning_rate,
 )
 
 
@@ -215,6 +216,83 @@ class Trainer:
         return train, val
 
     # ------------------------------------------------------------------
+    def find_lr(
+        self,
+        train_loader,
+        params,
+        min_lr: float = 1e-7,
+        max_lr: float = 1.0,
+        num_steps: int = 100,
+        smoothing: float = 0.98,
+        diverge_factor: float = 4.0,
+    ) -> Dict:
+        """LR-range test: the reference optionally runs Lightning's
+        `trainer.tuner.lr_find` and adopts the suggestion
+        (vap/train.py:222-223). Same procedure, on a THROWAWAY copy of the
+        optimizer state: sweep LR exponentially from min_lr to max_lr over
+        num_steps training batches, record the bias-corrected
+        exponentially-smoothed loss, stop early when it exceeds
+        diverge_factor x the best seen, and suggest the LR at the steepest
+        descent (argmin of the loss curve's gradient, skipping the noisy
+        head and the divergence tail). Sweeps a DEEP COPY of params: the
+        train step donates its state, which would otherwise delete the
+        caller's param buffers along with the discarded sweep state."""
+        params = jax.tree.map(jnp.copy, params)
+        state = replicate_tree(init_train_state(params, self.tx), self.mesh)
+        key = jax.device_put(jax.random.key(self.seed + 2))
+        lrs, smooth = [], []
+        avg, best = 0.0, float("inf")
+        step = 0
+        diverged = False
+        while step < num_steps and not diverged:
+            progressed = False
+            for batch in train_loader:
+                if step >= num_steps:
+                    break
+                progressed = True
+                lr = float(
+                    min_lr * (max_lr / min_lr) ** (step / max(1, num_steps - 1))
+                )
+                state = set_learning_rate(state, lr)
+                semis, choice = self.augment.plan()
+                if semis is not None:
+                    batch = dict(batch)
+                    batch["waveform"] = self.augment.apply_pitch_host(
+                        np.asarray(batch["waveform"]), semis
+                    )
+                sharded = shard_batch(
+                    {k: np.asarray(v) for k, v in batch.items()}, self.mesh
+                )
+                state, metrics = self.train_step(state, sharded, key, choice)
+                loss = float(metrics["loss"])  # tuner: per-step fetch is fine
+                step += 1
+                if not np.isfinite(loss):
+                    diverged = True
+                    break
+                avg = smoothing * avg + (1.0 - smoothing) * loss
+                corrected = avg / (1.0 - smoothing**step)
+                lrs.append(lr)
+                smooth.append(corrected)
+                best = min(best, corrected)
+                if step > 10 and corrected > diverge_factor * best:
+                    diverged = True
+                    break
+            if not progressed:
+                break
+        if len(smooth) < 3:
+            return {"suggestion": self.opt_conf.learning_rate,
+                    "lrs": lrs, "losses": smooth}
+        head = min(10, len(smooth) // 3)  # skip pre-descent noise
+        grad = np.gradient(np.asarray(smooth))
+        idx = head + int(np.argmin(grad[head : len(grad) - 1]))
+        result = {"suggestion": float(lrs[idx]), "lrs": lrs, "losses": smooth}
+        self.logger.log(
+            {"lr_find": {"suggestion": result["suggestion"],
+                         "steps": len(lrs), "diverged": diverged}}
+        )
+        return result
+
+    # ------------------------------------------------------------------
     def fit(
         self,
         resume_from: Optional[str] = None,
@@ -267,7 +345,17 @@ class Trainer:
             print(f"Resumed params from {resume_from}")
         state = init_train_state(params, self.tx)
         with jax.set_mesh(self.mesh):
-            state = replicate_tree(state, self.mesh)
+            if self.opt_conf.find_learning_rate:
+                # reference train.py:222-223: run the LR-range test and
+                # adopt the suggestion before training
+                found = self.find_lr(train_loader, params)
+                print(f"lr_find: adopting learning_rate={found['suggestion']:.3g} "
+                      f"(swept {len(found['lrs'])} steps)")
+                state = set_learning_rate(
+                    replicate_tree(state, self.mesh), found["suggestion"]
+                )
+            else:
+                state = replicate_tree(state, self.mesh)
             key = jax.random.key(self.seed + 1)
             best_val = float("inf")
 
