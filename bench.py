@@ -94,13 +94,113 @@ def _probe_device() -> None:
               file=sys.stderr, flush=True)
 
 
+def bench_train(batch: int = 16) -> None:
+    """`bench.py --train [batch]`: fused augmented train-step throughput +
+    train MFU (BASELINE.md workload #4; forward-only MFU says nothing
+    about the backward's headroom). Mirrors the Trainer's production step:
+    make_train_step_augmented with flip+noise, frozen encoder, bf16."""
+    import jax.random as jrandom
+
+    from voiceactivityprojection_tpu.config import OptConfig, VapConfig
+    from voiceactivityprojection_tpu.models.vap import init_vap
+    from voiceactivityprojection_tpu.train.step import (
+        init_train_state,
+        make_optimizer,
+        make_train_step_augmented,
+    )
+    from voiceactivityprojection_tpu.utils.flops import (
+        device_peak_tflops,
+        stereo_train_flops,
+    )
+
+    _probe_device()
+
+    chunk_s, sr = 20.0, 16_000
+    n = int(chunk_s * sr)
+    conf = VapConfig(dtype="bfloat16")
+    params = init_vap(jax.random.key(0), conf)
+    tx = make_optimizer(OptConfig(), conf.freeze_encoder)
+    state = init_train_state(params, tx)
+    step = make_train_step_augmented(
+        conf, tx, mono=False, do_flip=True, flip_prob=0.5,
+        do_mask=False, mask_prob=0.5, noise_amplitude=0.01,
+        sample_rate=sr, frame_hz=50,
+    )
+
+    rng = np.random.default_rng(0)
+    batches = [
+        {
+            "waveform": jnp.asarray(
+                rng.normal(size=(batch, 2, n)).astype(np.float32) * 0.1
+            ),
+            "vad": jnp.asarray(
+                (rng.random((batch, int((chunk_s + 2) * 50), 2)) < 0.4
+                 ).astype(np.float32)
+            ),
+        }
+        for _ in range(4)
+    ]
+    key = jax.device_put(jrandom.key(1))
+
+    t0 = time.time()
+    state, metrics = step(state, batches[0], key, 1)
+    _ = float(metrics["loss"])
+    compile_s = time.time() - t0
+
+    for i in range(10):  # warmup (tunnel settles, see bench comments)
+        state, metrics = step(state, batches[i % 4], key, 1)
+    _ = float(metrics["loss"])
+
+    iters = 20
+    t0 = time.time()
+    for i in range(iters):
+        state, metrics = step(state, batches[i % 4], key, i % 2)
+    loss = float(metrics["loss"])  # hard sync through the chained state
+    elapsed = time.time() - t0
+    assert np.isfinite(loss)
+
+    stages = stereo_train_flops(
+        n, conf.dim, conf.channel_layers, conf.cross_layers,
+        frozen_encoder=conf.freeze_encoder,
+    )
+    achieved = stages["total"] * batch * iters / elapsed / 1e12
+    peak = device_peak_tflops()
+    print(
+        json.dumps(
+            {
+                "metric": "train_audio_seconds_per_second",
+                "value": round(batch * chunk_s * iters / elapsed, 2),
+                "unit": "audio_s/s",
+                "vs_baseline": round(batch * chunk_s * iters / elapsed / 100.0, 3),
+                "ms_per_step": round(elapsed / iters * 1e3, 2),
+                "gflops_per_step_chunk": round(stages["total"] / 1e9, 2),
+                "achieved_tflops": round(achieved, 2),
+                "peak_bf16_tflops": peak,
+                "train_mfu": round(achieved / peak, 4) if peak else None,
+            }
+        )
+    )
+    print(
+        f"# train batch={batch} iters={iters} elapsed={elapsed:.3f}s "
+        f"compile={compile_s:.1f}s "
+        f"fwd/bwd/recompute GF: {stages['forward']/1e9:.1f}/"
+        f"{stages['backward']/1e9:.1f}/{stages['flash_recompute']/1e9:.1f}",
+        file=sys.stderr,
+    )
+
+
 def main() -> None:
     from voiceactivityprojection_tpu.config import VapConfig
     from voiceactivityprojection_tpu.models.vap import forward, init_vap, probs_from_logits
 
+    args = [a for a in sys.argv[1:] if a != "--train"]
+    if "--train" in sys.argv[1:]:
+        bench_train(int(args[0]) if args else 16)
+        return
+
     _probe_device()
 
-    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 64
+    batch = int(args[0]) if args else 64
     chunk_s = 20.0
     sr = 16_000
     n = int(chunk_s * sr)

@@ -56,6 +56,11 @@ def test_train_step_decreases_loss():
 
 
 def test_frozen_encoder_unchanged():
+    """freeze_encoder freezes the pretrained CPC subtrees (gEncoder conv
+    stack + gAR GRU) EXACTLY — the learned downsample keeps training, like
+    the reference's EncoderCPC.freeze() which flips requires_grad only on
+    self.encoder (vap/encoder.py:39-42), leaving its sibling downsample
+    (vap/encoder.py:23-31) trainable."""
     params = init_vap(jax.random.key(0), CONF)
     # the train step donates its input state, so snapshot before stepping
     before = jax.tree.map(np.asarray, params)
@@ -63,19 +68,25 @@ def test_frozen_encoder_unchanged():
     state = init_train_state(params, tx)
     step = make_train_step(CONF, tx)
     state, _ = step(state, small_batch(), jax.random.key(0))
-    for a, b in zip(
-        jax.tree.leaves(before["encoder"]), jax.tree.leaves(state.params["encoder"])
-    ):
-        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
-    # non-encoder params must move
-    moved = any(
-        not np.allclose(np.asarray(a), np.asarray(b))
+    for sub in ("gEncoder", "gAR"):
         for a, b in zip(
-            jax.tree.leaves(before["vap_head"]),
-            jax.tree.leaves(state.params["vap_head"]),
+            jax.tree.leaves(before["encoder"][sub]),
+            jax.tree.leaves(state.params["encoder"][sub]),
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # the downsample AND non-encoder params must move
+    for subtree in ("encoder", "vap_head"):
+        a_tree = before[subtree]["downsample"] if subtree == "encoder" else before[subtree]
+        b_tree = (
+            state.params[subtree]["downsample"]
+            if subtree == "encoder"
+            else state.params[subtree]
         )
-    )
-    assert moved
+        moved = any(
+            not np.allclose(np.asarray(a), np.asarray(b))
+            for a, b in zip(jax.tree.leaves(a_tree), jax.tree.leaves(b_tree))
+        )
+        assert moved, f"{subtree} did not train"
 
 
 def test_unfrozen_encoder_trains():

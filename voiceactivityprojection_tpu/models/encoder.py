@@ -129,10 +129,18 @@ def _downsample(params: Params, x: jax.Array) -> jax.Array:
 
 
 def apply_encoder(
-    params: Params, waveform: jax.Array, fused_auto: bool = False
+    params: Params,
+    waveform: jax.Array,
+    fused_auto: bool = False,
+    fuse_downsample: bool = True,
 ) -> jax.Array:
     """waveform (B, n) or (B, 1, n) -> (B, T50, C). fused_auto opts the
-    conv stack into the fused Pallas kernel on TPU (see _conv_stack)."""
+    conv stack into the fused Pallas kernel on TPU (see _conv_stack);
+    fuse_downsample additionally allows the GRU+downsample epilogue kernel
+    — callers set it False when the downsample must stay differentiable
+    (frozen-encoder TRAINING: the CPC conv/GRU carry no tangents, but the
+    downsample trains — reference EncoderCPC.freeze() leaves it out,
+    vap/encoder.py:39-42 — and the epilogue kernel has no VJP)."""
     if waveform.ndim == 3:
         assert waveform.shape[1] == 1, f"expected mono channel, got {waveform.shape}"
         waveform = waveform[:, 0]
@@ -153,6 +161,7 @@ def apply_encoder(
     hidden = g["w_hh"].shape[0]
     if (
         fused_auto
+        and fuse_downsample
         and os.environ.get("VAP_GRU_DS", "fused") == "fused"
         and jax.default_backend() not in ("cpu",)
         and hidden % 128 == 0

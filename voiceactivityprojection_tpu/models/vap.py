@@ -95,7 +95,10 @@ def init_vap_mono(key: jax.Array, conf: VapMonoConfig) -> Params:
 # forward (pure)
 # --------------------------------------------------------------------------
 def encode_audio(
-    params: Params, waveform: jax.Array, fused_auto: bool = False
+    params: Params,
+    waveform: jax.Array,
+    fused_auto: bool = False,
+    fuse_downsample: bool = True,
 ) -> Tuple[jax.Array, jax.Array]:
     """(B, 2, n_samples) -> per-channel (B, T, C) features; shared encoder
     weights applied to each channel separately (vap/model.py:169-175)."""
@@ -106,7 +109,10 @@ def encode_audio(
     # better MXU utilization than two sequential calls
     B = waveform.shape[0]
     both = waveform.reshape(B * 2, waveform.shape[-1])
-    z = apply_encoder(params["encoder"], both, fused_auto=fused_auto)
+    z = apply_encoder(
+        params["encoder"], both,
+        fused_auto=fused_auto, fuse_downsample=fuse_downsample,
+    )
     z = z.reshape(B, 2, *z.shape[1:])
     return z[:, 0], z[:, 1]
 
@@ -144,23 +150,28 @@ def forward(
     # window expand moved in-kernel; with an UNFROZEN encoder the custom
     # VJP would recompute the XLA forward, so that case keeps XLA convs.
     if conf.freeze_encoder:
-        # frozen CPC encoder (vap/encoder.py:39-42): stop gradients at the
-        # PARAMS, not only the features — under jax.grad the params carry
-        # tangents into apply_encoder otherwise, which (a) wastes an
-        # encoder backward and (b) asserts in the Pallas fused kernels
-        # (no JVP rule). The optimizer mask already zeroes encoder updates.
+        # frozen CPC (vap/encoder.py:39-42 — EncoderCPC.freeze() flips
+        # requires_grad only on self.encoder = gEncoder conv stack + gAR
+        # GRU; the learned DOWNSAMPLE is a sibling and keeps training):
+        # stop gradients at those PARAMS, not the features — under
+        # jax.grad the params carry tangents into apply_encoder otherwise,
+        # which (a) wastes an encoder backward and (b) asserts in the
+        # Pallas fused kernels (no JVP rule). With gEncoder/gAR stopped
+        # and the waveform constant, nothing upstream of the downsample
+        # carries tangents, so the conv/GRU backward is never built while
+        # the downsample's is. The optimizer mask matches (train/step.py).
         params = dict(params)
-        params["encoder"] = jax.tree.map(
-            jax.lax.stop_gradient, params["encoder"]
-        )
+        enc = dict(params["encoder"])
+        for sub in ("gEncoder", "gAR"):
+            enc[sub] = jax.tree.map(jax.lax.stop_gradient, enc[sub])
+        params["encoder"] = enc
     x1, x2 = encode_audio(
-        params, waveform, fused_auto=rng is None or bool(conf.freeze_encoder)
+        params,
+        waveform,
+        fused_auto=rng is None or bool(conf.freeze_encoder),
+        # the GRU+downsample epilogue kernel has no VJP: inference only
+        fuse_downsample=rng is None,
     )
-    if conf.freeze_encoder:
-        # feature-boundary stop keeps the encoder out of the backward even
-        # when the fused path is off
-        x1 = jax.lax.stop_gradient(x1)
-        x2 = jax.lax.stop_gradient(x2)
     # NOTE: the channel-stacked variant (apply_gpt_stereo_batched — one
     # 2B-sized dispatch per layer instead of two B-sized twin passes) was
     # measured SLOWER or tied on v5e at every batch (B=64: 42.2 vs 33.8 ms
@@ -211,18 +222,23 @@ def forward_mono(
         assert waveform.shape[1] == 1, f"expected (B, 1, n), got {waveform.shape}"
         waveform = waveform[:, 0]
     params, waveform = _compute_cast(params, waveform, conf)
-    # see forward(): params-level stop keeps tangents out of the Pallas
-    # fused encoder kernels (no JVP rule) under jax.grad
+    # see forward(): params-level stop on the CPC subtrees only keeps
+    # tangents out of the Pallas fused encoder kernels (no JVP rule)
+    # under jax.grad while the learned downsample keeps training
+    # (reference EncoderCPC.freeze() scope, vap/encoder.py:39-42)
     enc_params = params["encoder"]
     if conf.freeze_encoder:
-        enc_params = jax.tree.map(jax.lax.stop_gradient, enc_params)
+        enc_params = dict(enc_params)
+        for sub in ("gEncoder", "gAR"):
+            enc_params[sub] = jax.tree.map(
+                jax.lax.stop_gradient, enc_params[sub]
+            )
     x = apply_encoder(
         enc_params,
         waveform,
         fused_auto=rng is None or bool(conf.freeze_encoder),
+        fuse_downsample=rng is None,
     )
-    if conf.freeze_encoder:
-        x = jax.lax.stop_gradient(x)
 
     # VAD conditioning (vap/model.py:354-359); va stays float32 (it is a
     # binary mask), the conditioning joins the features in compute dtype

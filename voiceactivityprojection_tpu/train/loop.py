@@ -426,11 +426,12 @@ class Trainer:
                     if losses else float("nan")
                 )
 
+                train_s = time.time() - t0
                 record = {
                     "epoch": epoch,
                     "loss": train_loss,
                     "lr": get_learning_rate(state),
-                    "train_s": round(time.time() - t0, 1),
+                    "train_s": round(train_s, 1),
                     # host-overhead observability: how long the step loop
                     # sat waiting for data (loader not hidden by prefetch),
                     # preparing batches (pitch + put), and blocked on step
@@ -440,6 +441,33 @@ class Trainer:
                     "dispatch_s": round(dispatch_s, 2),
                     "steps": n_steps,
                 }
+                if not self.mono and n_steps and train_s > 0:
+                    # wall-clock train MFU: analytic fwd+bwd(+flash
+                    # recompute) FLOPs over the WHOLE epoch wall time —
+                    # includes data wait and host overhead, so it is the
+                    # honest end-to-end figure (the step-only roofline is
+                    # bench.py --train)
+                    from voiceactivityprojection_tpu.utils.flops import (
+                        device_peak_tflops,
+                        stereo_train_flops,
+                    )
+
+                    peak = device_peak_tflops()
+                    if peak:
+                        per_chunk = stereo_train_flops(
+                            int(self.data_conf.audio_duration
+                                * self.data_conf.sample_rate),
+                            self.model_conf.dim,
+                            self.model_conf.channel_layers,
+                            self.model_conf.cross_layers,
+                            frozen_encoder=self.model_conf.freeze_encoder,
+                        )["total"]
+                        achieved = (
+                            per_chunk * self.data_conf.batch_size * n_steps
+                            / train_s / 1e12
+                        )
+                        record["train_tflops"] = round(achieved, 2)
+                        record["train_mfu"] = round(achieved / peak, 4)
 
                 # ---- validate
                 if val_loader is not None:

@@ -40,8 +40,12 @@ class TrainState(NamedTuple):
 
 def make_optimizer(opt_conf: OptConfig, freeze_encoder: bool = True):
     """AdamW over all params (weight decay unmasked, like torch AdamW on
-    `self.parameters()`); encoder subtree frozen via set_to_zero when
-    freeze_encoder (vap/encoder.py:39-42).
+    `self.parameters()`); the pretrained CPC subtrees (gEncoder conv stack
+    + gAR GRU) frozen via set_to_zero when freeze_encoder. The learned
+    DOWNSAMPLE always trains: the reference's EncoderCPC.freeze() flips
+    requires_grad only on `self.encoder` (vap/encoder.py:39-42) — the
+    downsample conv (vap/encoder.py:23-31) is a sibling module and is the
+    piece that adapts frozen CPC features to the task.
 
     The ALiBi slope leaves ("m") are ALWAYS frozen: the reference stores
     them as `requires_grad=False` parameters (modules.py:116-121), which
@@ -58,7 +62,11 @@ def make_optimizer(opt_conf: OptConfig, freeze_encoder: bool = True):
 
         def labels(params):
             def label(path, _):
-                if freeze_encoder and getattr(path[0], "key", None) == "encoder":
+                if (
+                    freeze_encoder
+                    and getattr(path[0], "key", None) == "encoder"
+                    and getattr(path[1], "key", None) in ("gEncoder", "gAR")
+                ):
                     return "freeze"
                 if getattr(path[-1], "key", None) == "m":
                     return "freeze"  # non-trainable ALiBi slopes

@@ -74,6 +74,58 @@ def stereo_forward_flops(
     return stages
 
 
+def stereo_train_flops(
+    n_samples: int,
+    dim: int = 256,
+    channel_layers: int = 1,
+    cross_layers: int = 3,
+    frozen_encoder: bool = True,
+    flash_recompute: bool = True,
+) -> Dict[str, float]:
+    """FLOPs for ONE stereo training step (B=1): forward + backward
+    (+ the flash-attention backward's in-kernel forward recompute).
+
+    Backward accounting (matmul terms): a matmul/conv inside the trained
+    subgraph costs 2x its forward (input-grad dX = dY W^T plus weight-grad
+    dW = X^T dY, each the same shape product as the forward). With a
+    frozen encoder (reference EncoderCPC.freeze(), vap/encoder.py:39-42)
+    the conv stack and GRU have NO backward at all (their params carry no
+    tangents and their input is the waveform constant); the learned
+    downsample trains but sits at the gradient boundary, so only its
+    weight-grad (1x forward) is needed. The flash training kernel
+    (ops/flash_alibi_train.py) recomputes the forward scores inside the
+    backward, FlashAttention-2 style: +1x the score/value matmul FLOPs
+    per attention site when flash_recompute."""
+    fwd = stereo_forward_flops(n_samples, dim, channel_layers, cross_layers)
+    t50 = (n_samples // 160) // 2
+
+    trained_tail = fwd["ar_channel"] + fwd["ar_stereo"] + fwd["combinator_heads"]
+    if frozen_encoder:
+        backward = 2.0 * trained_tail + 1.0 * fwd["downsample"]
+    else:
+        # dX of conv0 is negligible (c_in=1); counted anyway for simplicity
+        backward = 2.0 * (
+            fwd["conv_stack"] + fwd["gru"] + fwd["downsample"] + trained_tail
+        )
+
+    recompute = 0.0
+    if flash_recompute:
+        pairs = t50 * (t50 + 1) / 2.0
+        per_site_scores = 2 * 2.0 * pairs * dim  # QK^T + PV, summed heads
+        # twin channel stacks: 1 self-attn site per channel layer per
+        # channel; cross layers: self + cross per channel
+        n_sites = 2 * channel_layers + 4 * cross_layers
+        recompute = n_sites * per_site_scores
+
+    out = {
+        "forward": fwd["total"],
+        "backward": backward,
+        "flash_recompute": recompute,
+    }
+    out["total"] = sum(out.values())
+    return out
+
+
 # bf16 peak matmul throughput per chip, TFLOP/s (public figures)
 PEAK_BF16_TFLOPS = {
     "TPU v4": 275.0,
