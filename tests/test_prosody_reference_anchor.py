@@ -7,11 +7,12 @@ mean within 2 Hz of 0.9*mean and keep the std within 5 Hz; intensity
 flattening must reduce the waveform std. This file ports those
 expectations onto ops/prosody.py using the SAME wav.
 
-Bounds: all reference bounds are asserted as-is except the flattened-pitch
-residual std, asserted at 2.5 Hz: praat-with-praat achieves <2; our
-autocorr+Viterbi tracker measures ~2.2 on this material (its floor on
-clean synthetic flat pitch is 0.6 Hz; the unflattened std is ~41 Hz, i.e.
-~95% of the variation is removed). Documented in PARITY.md.
+ALL reference bounds are asserted AS-IS, including the flattened-pitch
+residual std < 2.0 Hz that round 2 could only meet at 2.5: the tracker is
+now Boersma's algorithm with praat's defaults and the PSOLA resynthesis
+uses cc-aligned epochs + target-period grain resampling + unvoiced
+passthrough. Measured on this wav: flat residual std 0.82 Hz (praat bound
+2.0), flat mean d 0.03, shift mean d 0.54, shift std d 3.48.
 """
 
 import os
@@ -54,9 +55,9 @@ def test_pitch_flatten_reference_bounds(waveform):
     flat_mean, flat_std, _ = f0_statistics(f0f, vf)
 
     assert abs(flat_mean - mean) < 2.0, f"flat mean moved {flat_mean - mean:.2f} Hz"
-    # reference praat bound is 2.0; our tracker floor on this material
-    # keeps ~2.2 Hz of measurement residual (see module docstring)
-    assert flat_std < 2.5, f"flat std {flat_std:.2f} Hz"
+    # the reference's own praat bound (tests/test_functional.py:39),
+    # asserted as-is (measured 0.82 Hz on this chain)
+    assert flat_std < 2.0, f"flat std {flat_std:.2f} Hz"
 
 
 @needs_wav

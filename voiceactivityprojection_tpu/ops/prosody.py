@@ -5,12 +5,14 @@ flat-F0/shifted-F0 resynthesis and intensity flattening
 (functional.py:28-310). parselmouth is not available in this image, so the
 probes are implemented as plain DSP:
 
-* `pitch_track`   — autocorrelation F0 estimation (25 ms window / 10 ms
-  hop, 60-400 Hz search band, voicing threshold) — the praat AC method's
-  core without octave-cost dynamic programming.
-* `flatten_pitch` / `shift_pitch` — TD-PSOLA: pitch marks from the F0
-  track, Hann-windowed two-period grains, overlap-add at the target pitch
-  spacing (praat's "Change gender"/resynthesis analogue).
+* `pitch_track`   — Boersma (1993) autocorrelation F0, the algorithm
+  behind praat's `to_pitch`, with praat's defaults (3/fmin Hann window,
+  window-AC normalization, octave/jump/voicing costs, silence-aware
+  unvoiced strength, Viterbi path); 60-500 Hz band like the reference's
+  F0_MIN/F0_MAX (functional.py:22-24).
+* `flatten_pitch` / `shift_pitch` — TD-PSOLA: cc-aligned glottal epochs,
+  grains resampled to the target period, overlap-add at the target
+  spacing, unvoiced spans passed through (praat Manipulation analogue).
 * `flatten_intensity` — frame-gain equalization toward the mean RMS of
   voiced/active frames (functional.py intensity_praat_flatten analogue).
 * `low_pass_filter_resample` — EXACT port of the reference trick: resample
@@ -47,128 +49,125 @@ def pitch_track(
     sample_rate: int = 16_000,
     hop_time: float = 0.01,
     fmin: float = 60.0,
-    fmax: float = 400.0,
-    voiced_threshold: float = 0.3,
-    n_candidates: int = 4,
-    jump_cost: float = 0.5,
-    voicing_transition_cost: float = 0.14,
-    octave_cost: float = 0.1,
+    fmax: float = 500.0,
+    voicing_threshold: float = 0.45,
+    silence_threshold: float = 0.03,
+    octave_cost: float = 0.01,
+    octave_jump_cost: float = 0.35,
+    voiced_unvoiced_cost: float = 0.14,
+    n_candidates: int = 15,
+    frame_time: Optional[float] = None,
 ) -> Tuple[np.ndarray, np.ndarray]:
-    """Candidate-based autocorrelation pitch with Viterbi path smoothing
-    (the praat algorithm family: per-frame peak candidates + an unvoiced
-    hypothesis, octave-jump transition costs, best global path). Returns
-    (f0, voiced_mask) per hop frame; f0=0 for unvoiced frames.
+    """Boersma (1993) autocorrelation pitch — the algorithm behind praat's
+    `to_pitch`, which the reference calls via parselmouth with floor 60 /
+    ceiling 500 (vap/phrases/functional.py:22-24, 101-120). Defaults are
+    praat's: window = 3 periods of fmin (50 ms), Hann-windowed frames with
+    the estimator r(tau) = r_xw(tau) / r_w(tau) (autocorr of the windowed
+    frame normalized by the window's own autocorr), per-frame candidate
+    peaks scored R = r + OctaveCost*log2(f/fmin), an unvoiced candidate
+    whose strength rises in silence (VoicingThreshold + max(0, 2 -
+    localPeak/globalPeak / (SilenceThreshold/(1+VoicingThreshold)))), and
+    a Viterbi path maximizing sum(R) - OctaveJumpCost*|log2 jumps| -
+    VoicedUnvoicedCost transitions. localPeak is taken over the CENTRAL
+    HALF of each frame (praat convention) — edge energy belongs to the
+    neighboring frame whose center covers it, and measuring it here
+    voiced an isolated silence-centered frame at 458 Hz on the reference
+    example wav. Returns (f0, voiced) per hop frame; f0=0 when unvoiced.
 
-    Chosen over single-peak autocorr after measuring the probe chain on
-    the reference example wav (tests/test_prosody.py): single-peak octave
-    errors inflated the flattened-pitch residual std to 6.7 Hz; the
-    Viterbi path brings it to ~2.1 Hz (tracker floor on clean synthetic
-    flat pitch: 0.6 Hz). `voiced_threshold` acts as the unvoiced state's
-    local cost (strength below it prefers unvoiced, like praat's
-    voicing_threshold)."""
+    Anchored on the reference's own bounds (tests/test_functional.py:28-63
+    via tests/test_prosody_reference_anchor.py): flat-pitch residual std
+    0.82 Hz (praat bound 2.0), pure tones track to <0.01 Hz."""
     x = np.asarray(x, dtype=np.float32)
     hop = int(hop_time * sample_rate)
-    frame_len = int(0.025 * sample_rate)
-    lag_min = int(sample_rate / fmax)
-    lag_max = min(int(sample_rate / fmin), frame_len - 1)
+    frame_len = int(
+        (frame_time if frame_time is not None else 3.0 / fmin) * sample_rate
+    )
+    lag_min = max(int(np.floor(sample_rate / fmax)), 2)
+    lag_max = min(int(np.ceil(sample_rate / fmin)), frame_len // 2)
+    global_peak = float(np.abs(x - x.mean()).max()) + 1e-12
 
     frames = frame_signal(x, frame_len, hop)
-    frames = frames - frames.mean(-1, keepdims=True)
-    # full autocorrelation via FFT
-    nfft = 1 << (2 * frame_len - 1).bit_length()
-    spec = np.fft.rfft(frames, nfft)
-    ac = np.fft.irfft(spec * np.conj(spec), nfft)[:, :frame_len]
-    ac0 = np.maximum(ac[:, 0], 1e-10)
-    norm_ac = ac / ac0[:, None]
-    # taper-bias correction (praat's r(tau)/r_w(tau)): the raw estimator
-    # decays ~(1 - lag/frame_len) for a perfectly periodic signal, which
-    # starves low-f0 candidates (a pure 100 Hz tone read ~0.6 at its lag).
-    # The correction factor is capped (x3) and the result NOT clipped at
-    # 1: clipping saturates whole lag plateaus to exactly 1.0, which ties
-    # subharmonics with the true peak and pushes it out of the top-N
-    # candidate list (observed: a pure 330 Hz tone tracked at 165 Hz).
-    taper = np.maximum(1.0 - np.arange(frame_len) / frame_len, 1.0 / 3.0)
-    norm_ac = norm_ac / taper[None, :]
-    energy = ac0 / frame_len
-
     T = len(frames)
     if T == 0:  # sub-frame input: no frames, no pitch (no crash)
         return np.zeros(0, np.float32), np.zeros(0, bool)
-    band = norm_ac[:, lag_min : lag_max + 1]
+    frames0 = frames - frames.mean(-1, keepdims=True)
+    q = max(frame_len // 4, 1)
+    local_peak = np.abs(frames0[:, q:-q]).max(-1) + 1e-12
+    win = np.hanning(frame_len).astype(np.float32)
+    nfft = 1 << (2 * frame_len - 1).bit_length()
+    spec = np.fft.rfft(frames0 * win[None, :], nfft)
+    ac = np.fft.irfft(spec * np.conj(spec), nfft)[:, : lag_max + 2]
+    ac0 = np.maximum(ac[:, 0], 1e-12)
+    r = ac / ac0[:, None]
+    wspec = np.fft.rfft(win, nfft)
+    wac = np.fft.irfft(wspec * np.conj(wspec), nfft)[: lag_max + 2]
+    r = r / np.maximum(wac / wac[0], 1e-3)[None, :]
+
     nc = n_candidates
-    cands = np.zeros((T, nc), dtype=np.float64)     # candidate f0 (0 = none)
-    strengths = np.zeros((T, nc), dtype=np.float64)  # autocorr peak height
-    # local maxima of the lag band, top-nc by strength, sub-sample refined
+    cf0 = np.zeros((T, nc))
+    cR = np.full((T, nc), -np.inf)
+    band = r[:, lag_min : lag_max + 1]
     interior = band[:, 1:-1]
     is_peak = (interior > band[:, :-2]) & (interior >= band[:, 2:])
-    lag_axis = np.arange(band.shape[1]) + lag_min
-    f0_axis = sample_rate / lag_axis
-    # candidate selection score includes the octave penalty (praat applies
-    # OctaveCost when scoring candidates, not only on the path): for a
-    # pure tone every subharmonic lag reads corrected-strength ~1.0, so a
-    # raw-strength top-N fills up with subharmonics and drops the true
-    # peak entirely (observed at 330 Hz with a 400-sample frame)
-    sel_pen = octave_cost * np.log2(fmax / f0_axis)
     for i in range(T):
-        pk = np.nonzero(is_peak[i])[0] + 1
+        pk = np.nonzero(is_peak[i])[0] + 1 + lag_min
         if pk.size == 0:
             continue
-        top = pk[np.argsort(band[i, pk] - sel_pen[pk])[::-1][:nc]]
-        lags = top + lag_min
-        y0 = norm_ac[i, lags - 1]
-        y1 = norm_ac[i, lags]
-        y2 = norm_ac[i, np.minimum(lags + 1, frame_len - 1)]
+        # parabolic refinement of lag AND strength around each peak
+        y0, y1, y2 = r[i, pk - 1], r[i, pk], r[i, pk + 1]
         den = y0 - 2 * y1 + y2
-        delta = np.where(np.abs(den) > 1e-8, 0.5 * (y0 - y2) / np.where(np.abs(den) > 1e-8, den, 1.0), 0.0)
-        lag_f = lags + np.clip(delta, -1, 1)
-        k = len(top)
-        cands[i, :k] = sample_rate / np.maximum(lag_f, 1.0)
-        strengths[i, :k] = band[i, top]
+        d = np.where(
+            np.abs(den) > 1e-12,
+            0.5 * (y0 - y2) / np.where(np.abs(den) > 1e-12, den, 1.0),
+            0.0,
+        )
+        d = np.clip(d, -1, 1)
+        f0c = sample_rate / (pk + d)
+        rref = y1 - 0.25 * (y0 - y2) * d
+        keep = (f0c > fmin) & (f0c < fmax)
+        f0c, rref = f0c[keep], rref[keep]
+        R = rref + octave_cost * np.log2(np.maximum(f0c, 1e-9) / fmin)
+        order = np.argsort(R)[::-1][:nc]
+        k = len(order)
+        cf0[i, :k] = f0c[order]
+        cR[i, :k] = R[order]
 
-    # Viterbi over nc pitch states + 1 unvoiced state
+    R_uv = voicing_threshold + np.maximum(
+        0.0,
+        2.0
+        - (local_peak / global_peak)
+        / (silence_threshold / (1.0 + voicing_threshold)),
+    )
     NS = nc + 1
-    local = np.full((T, NS), np.inf)
-    # octave cost (praat's OctaveCost): after taper correction a pure
-    # tone's subharmonic peak ties the true one — penalize low f0 so the
-    # higher octave wins ties
-    oct_pen = octave_cost * np.where(
-        cands > 0, np.log2(fmax / np.maximum(cands, 1e-6)), 0.0
-    )
-    # corrected strengths can exceed 1 (noise amplified by the taper
-    # correction); cost floors at the octave penalty so super-unity
-    # strengths don't become negative costs
-    local[:, :nc] = np.where(
-        strengths > 0, 1.0 - np.minimum(strengths, 1.0) + oct_pen, np.inf
-    )
-    local[:, nc] = voiced_threshold
-    logf = np.where(cands > 0, np.log2(np.maximum(cands, 1e-6)), 0.0)
-    cost = local[0].copy()
+    score = np.full((T, NS), -np.inf)
+    score[:, :nc] = cR
+    score[:, nc] = R_uv
+    logf = np.where(cf0 > 0, np.log2(np.maximum(cf0, 1e-9)), 0.0)
+    total = score[0].copy()
     back = np.zeros((T, NS), dtype=np.int32)
     for i in range(1, T):
-        # transition matrix prev(k) x cur(j)
         tr = np.zeros((NS, NS))
-        valid_prev = cands[i - 1] > 0
-        valid_cur = cands[i] > 0
+        vp = cf0[i - 1] > 0
+        vc = cf0[i] > 0
         dj = np.abs(logf[i - 1][:, None] - logf[i][None, :])
         tr[:nc, :nc] = np.where(
-            valid_prev[:, None] & valid_cur[None, :], jump_cost * dj, np.inf
+            vp[:, None] & vc[None, :], octave_jump_cost * dj, np.inf
         )
-        tr[nc, :nc] = voicing_transition_cost
-        tr[:nc, nc] = voicing_transition_cost
+        tr[nc, :nc] = voiced_unvoiced_cost
+        tr[:nc, nc] = voiced_unvoiced_cost
         tr[nc, nc] = 0.0
-        tot = cost[:, None] + tr
-        back[i] = np.argmin(tot, axis=0)
-        cost = tot[back[i], np.arange(NS)] + local[i]
-        cost = np.where(np.isfinite(local[i]), cost, np.inf)
+        cand_tot = total[:, None] - tr
+        back[i] = np.argmax(cand_tot, axis=0)
+        total = cand_tot[back[i], np.arange(NS)] + score[i]
 
     path = np.zeros(T, dtype=np.int32)
-    path[-1] = int(np.argmin(cost))
+    path[-1] = int(np.argmax(total))
     for i in range(T - 2, -1, -1):
         path[i] = back[i + 1, path[i + 1]]
 
     sel = path < nc
-    f0 = np.where(sel, cands[np.arange(T), np.minimum(path, nc - 1)], 0.0)
-    voiced = sel & (f0 > 0) & (energy > 1e-6)
+    f0 = np.where(sel, cf0[np.arange(T), np.minimum(path, nc - 1)], 0.0)
+    voiced = sel & (f0 > 0)
     f0 = np.where(voiced, f0, 0.0)
     return f0.astype(np.float32), voiced
 
@@ -176,19 +175,58 @@ def pitch_track(
 def _pitch_marks(
     x: np.ndarray, f0: np.ndarray, voiced: np.ndarray, sample_rate: int, hop: int
 ) -> List[int]:
-    """Sequential glottal-epoch placement from the F0 contour."""
+    """Sequential glottal-epoch placement (praat "To PointProcess
+    (periodic, cc)" family): the first epoch of each voiced run aligns to
+    the strongest peak of the lowpassed waveform; each subsequent epoch
+    maximizes the normalized cross-correlation with the previous period.
+    Phase-coherent epochs are what make PSOLA grains overlap-add cleanly —
+    free-running marks (the previous implementation) gave adjacent grains
+    random relative phase, which the measurement tracker read as ~2.2 Hz
+    of F0 jitter on flattened speech (praat's own bound is 2.0)."""
+    X = np.fft.rfft(x)
+    fr = np.fft.rfftfreq(len(x), 1.0 / sample_rate)
+    Y = X.copy()
+    Y[fr > 900.0] = 0
+    lp = np.fft.irfft(Y, len(x)).astype(np.float32)
+
     marks: List[int] = []
     t = 0
     n = len(x)
     default_period = int(sample_rate / 150)
+    prev_voiced = False
     while t < n:
         fi = min(t // hop, len(f0) - 1)
         if voiced[fi] and f0[fi] > 0:
             period = int(round(sample_rate / f0[fi]))
+            if not prev_voiced:  # voiced onset: anchor on the lowpass peak
+                r = max(period // 2, 2)
+                lo, hi = max(t - r, 0), min(t + r + 1, n)
+                t_al = lo + int(np.argmax(lp[lo:hi]))
+            else:  # continue: cc-align with the previous period
+                t_prev = marks[-1]
+                pred = t_prev + period
+                r = max(period // 5, 2)
+                h = max(period // 2, 4)
+                ref = x[max(t_prev - h, 0) : t_prev + h]
+                best, t_al = -np.inf, pred
+                for s in range(max(pred - r, 0), min(pred + r + 1, n)):
+                    seg = x[max(s - h, 0) : s + h]
+                    L = min(len(ref), len(seg))
+                    if L < 4:
+                        continue
+                    a, b = ref[:L], seg[:L]
+                    sc = float(np.dot(a, b)) / (
+                        np.linalg.norm(a) * np.linalg.norm(b) + 1e-9
+                    )
+                    if sc > best:
+                        best, t_al = sc, s
+            marks.append(t_al)
+            t = t_al + max(period, 8)
+            prev_voiced = True
         else:
-            period = default_period
-        marks.append(t)
-        t += max(period, 8)
+            marks.append(t)
+            t += default_period
+            prev_voiced = False
     return marks
 
 
@@ -200,44 +238,67 @@ def _psola(
     sample_rate: int = 16_000,
     hop_time: float = 0.01,
 ) -> np.ndarray:
-    """TD-PSOLA resynthesis toward target_f0 (same frame grid as f0)."""
+    """TD-PSOLA resynthesis toward target_f0 (same frame grid as f0).
+
+    Three properties earned by measurement against the reference's own
+    praat bounds (tests/test_prosody_reference_anchor.py):
+    - grains are RESAMPLED so their internal period equals the target
+      period before overlap-add — without this, grain-internal source
+      periodicity beats against the new grain spacing and the tracker
+      reads subharmonics (a 290->209 Hz flatten produced a 103 Hz cluster);
+    - unvoiced spans PASS THROUGH unmodified (praat Manipulation leaves
+      them untouched) via the window-sum crossfade `alpha` — regraining
+      noise at a fixed rate planted spurious periodicity;
+    - each synthesis pulse copies the NEAREST analysis epoch (not the
+      nearest-below), halving the worst-case phase offset."""
     x = np.asarray(x, dtype=np.float32)
     hop = int(hop_time * sample_rate)
     marks = _pitch_marks(x, f0, voiced, sample_rate, hop)
     out = np.zeros_like(x)
-    norm = np.zeros_like(x) + 1e-8
+    norm = np.zeros_like(x)
     n = len(x)
 
     t_out = 0.0
     mi = 0
     while t_out < n and mi < len(marks):
-        # advance analysis mark closest to synthesis time
         while mi + 1 < len(marks) and marks[mi + 1] <= t_out:
             mi += 1
         m = marks[mi]
+        if mi + 1 < len(marks) and abs(marks[mi + 1] - t_out) < abs(m - t_out):
+            m = marks[mi + 1]
         fi = min(m // hop, len(f0) - 1)
         if voiced[fi] and f0[fi] > 0:
             src_period = int(round(sample_rate / f0[fi]))
             tgt = target_f0[min(int(t_out) // hop, len(target_f0) - 1)]
             tgt_period = src_period if tgt <= 0 else int(round(sample_rate / tgt))
+            g0 = max(m - src_period, 0)
+            g1 = min(m + src_period, n)
+            grain = x[g0:g1]
+            center = m - g0
+            if tgt_period != src_period and len(grain) > 3:
+                ratio = tgt_period / src_period
+                new_len = max(int(round(len(grain) * ratio)), 4)
+                grain = np.interp(
+                    np.linspace(0, len(grain) - 1, new_len),
+                    np.arange(len(grain)),
+                    grain,
+                ).astype(np.float32)
+                center = int(round(center * ratio))
+            win = np.hanning(len(grain)).astype(np.float32)
+            o0 = int(t_out) - center
+            lo = max(o0, 0)
+            hi = min(o0 + len(grain), n)
+            if hi > lo:
+                gs = lo - o0
+                out[lo:hi] += grain[gs : gs + hi - lo] * win[gs : gs + hi - lo]
+                norm[lo:hi] += win[gs : gs + hi - lo]
+            t_out += max(tgt_period, 8)
         else:
-            src_period = int(sample_rate / 150)
-            tgt_period = src_period
+            t_out += max(int(sample_rate / 150), 8)
 
-        g0 = max(m - src_period, 0)
-        g1 = min(m + src_period, n)
-        grain = x[g0:g1]
-        win = np.hanning(len(grain)).astype(np.float32)
-        o0 = int(t_out) - (m - g0)
-        lo = max(o0, 0)
-        hi = min(o0 + len(grain), n)
-        if hi > lo:
-            gs = lo - o0
-            out[lo:hi] += grain[gs : gs + hi - lo] * win[gs : gs + hi - lo]
-            norm[lo:hi] += win[gs : gs + hi - lo]
-        t_out += max(tgt_period, 8)
-
-    return (out / norm).astype(np.float32)
+    alpha = np.clip(norm, 0.0, 1.0)
+    y = alpha * (out / np.maximum(norm, 1e-8)) + (1.0 - alpha) * x
+    return y.astype(np.float32)
 
 
 def flatten_pitch(
@@ -247,8 +308,11 @@ def flatten_pitch(
     hop_time: float = 0.01,
 ) -> np.ndarray:
     """Resynthesize with constant F0 (mean voiced F0 unless given) —
-    analogue of pitch_praat_flatten (functional.py)."""
-    f0, voiced = pitch_track(x, sample_rate, hop_time)
+    analogue of pitch_praat_flatten (functional.py). The ANALYSIS track
+    uses a short 25 ms window: PSOLA mark placement needs local temporal
+    resolution (the praat-default 3/fmin measurement window over-smooths
+    onsets and misplaces grains — measured flat residual 4.6 Hz vs 1.9)."""
+    f0, voiced = pitch_track(x, sample_rate, hop_time, frame_time=0.025)
     if not voiced.any():
         return np.asarray(x, dtype=np.float32)
     mean_f0 = float(target_f0 or f0[voiced].mean())
@@ -263,8 +327,9 @@ def shift_pitch(
     hop_time: float = 0.01,
 ) -> np.ndarray:
     """Multiply the F0 contour by `factor`, preserving duration/formant-ish
-    structure — analogue of pitch_praat_shift."""
-    f0, voiced = pitch_track(x, sample_rate, hop_time)
+    structure — analogue of pitch_praat_shift. Short analysis window for
+    mark placement (see flatten_pitch)."""
+    f0, voiced = pitch_track(x, sample_rate, hop_time, frame_time=0.025)
     tgt = np.where(voiced, f0 * factor, 0.0)
     return _psola(x, f0, voiced, tgt, sample_rate, hop_time)
 
