@@ -63,12 +63,63 @@ def main():
         got = np.asarray(f(q, k, v), np.float32)
         err = np.abs(got - want).max()
         timeit(f"single-block {impl} cs={cs} (err {err:.1e})", f, q, k, v)
-        assert err < 5e-2, f"{impl} cs={cs} diverges on chip: {err}"
+        # v4 is measured-and-rejected (bf16 planes diverge at T=1000,
+        # see its docstring); report its error but only gate the others
+        if impl != "v4":
+            assert err < 5e-2, f"{impl} cs={cs} diverges on chip: {err}"
 
-    run("v1")
-    run("v2")
-    for cs in (256, 512):
-        run("tri", cs)
+    def mxu_floor():
+        """Matmuls only (QK^T + PV, softmax skipped — WRONG math, timing
+        floor only): isolates MXU time from the (Tp, Tp) plane chain."""
+        import functools
+
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+
+        tp = -(-T // 128) * 128
+        pad = tp - T
+        qp, kp, vp = (
+            jnp.pad(x, [(0, 0), (0, 0), (0, pad), (0, 0)]) if pad else x
+            for x in (q, k, v)
+        )
+
+        def kern(q_ref, k_ref, v_ref, o_ref, *, n_heads):
+            def head_step(h, c):
+                s = jax.lax.dot_general(
+                    q_ref[0, h], k_ref[0, h],
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.bfloat16,
+                )
+                pv = jax.lax.dot_general(
+                    s, v_ref[0, h],
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                o_ref[0, h] = pv.astype(o_ref.dtype)
+                return c
+
+            jax.lax.fori_loop(0, n_heads, head_step, 0)
+
+        f = pl.pallas_call(
+            functools.partial(kern, n_heads=H),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=0,
+                grid=(B,),
+                in_specs=[pl.BlockSpec((1, H, tp, Dh), lambda b: (b, 0, 0, 0))] * 3,
+                out_specs=pl.BlockSpec((1, H, tp, Dh), lambda b: (b, 0, 0, 0)),
+            ),
+            out_shape=jax.ShapeDtypeStruct((B, H, tp, Dh), q.dtype),
+            interpret=jax.default_backend() == "cpu",
+        )
+        timeit("MXU floor (matmuls only)", jax.jit(f), qp, kp, vp)
+
+    mxu_floor()
+    # alternating repeats: tunnel noise is the measurement floor
+    for rep in range(3):
+        run("v1")
+        run("v5")
+    run("v3")
+    run("v4")
     timeit("dense f32 XLA", dense, q, k, v)
 
 

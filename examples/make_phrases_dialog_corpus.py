@@ -1,0 +1,165 @@
+"""Stitch the reference's 360 REAL TTS phrase wavs into two-channel
+pseudo-dialog sessions for training.
+
+The reference's phrases evaluation (vap/phrases/evaluation_phrases.py)
+probes whether a TRAINED model's shift probability responds to prosody
+(flat F0, flat intensity, ...) in the predictive region before end-of-turn
+— the SIGDIAL-2022 analysis. The reference trains on Switchboard, which is
+absent here; this generator builds the closest trainable substitute from
+the mount's own real-speech corpus (dataset_phrases/: 9 phrases x
+short/long x 10 Google TTS voices, word alignments + vad lists included):
+
+  * each session interleaves complete phrases from TWO distinct voices on
+    two channels — every phrase ends in a real end-of-turn, so shifts are
+    marked by genuine phrase-final prosody (falling F0, lengthening);
+  * HOLD transitions (same speaker continues after a pause) are mixed in
+    so silence alone does not predict a shift — the model must read the
+    turn-holding vs turn-yielding cues;
+  * occasional short overlaps at shifts mirror real dialog timing;
+  * per-phrase RMS normalization, uniform gaps/pauses sampled per
+    transition.
+
+Voices are split train/val (8/2) so validation measures generalization to
+unseen speakers. NOTE the probes themselves (evaluate_phrases.py) run on
+all 360 wavs, which overlap the training material — documented honestly
+in PARITY.md; the directionality analysis compares PERMUTATIONS of the
+same audio against each other, so the leak affects absolute values, not
+the flat-vs-regular contrast.
+
+    python examples/make_phrases_dialog_corpus.py --out /tmp/phrases_dialog \
+        --n_train 200 --n_val 24 --duration 24
+"""
+
+import argparse
+import csv
+import json
+import os
+import sys
+import wave
+from ast import literal_eval
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SR = 16_000
+VAL_VOICES = ("en-US-Wavenet-F", "en-US-Wavenet-D")  # 1 female, 1 male
+
+
+def read_phrase_rows(root: str):
+    rows = []
+    with open(os.path.join(root, "phrases.csv")) as f:
+        for row in csv.DictReader(f):
+            rows.append(
+                {
+                    "audio_path": os.path.join(
+                        os.path.dirname(root.rstrip("/")), row["audio_path"]
+                    )
+                    if not os.path.isabs(row["audio_path"])
+                    else row["audio_path"],
+                    "voice": row["tts"],
+                    "vad": literal_eval(row["vad_list"])[0],  # ch0 segments
+                }
+            )
+    return rows
+
+
+def load_wav_mono(path: str) -> np.ndarray:
+    from voiceactivityprojection_tpu.ops.audio import load_waveform
+
+    x, sr = load_waveform(path, sample_rate=SR)
+    assert sr == SR
+    return np.asarray(x[0], np.float32)
+
+
+def make_session(rng, duration, by_voice, voices, target_rms=0.05,
+                 p_shift=0.55, p_overlap=0.12):
+    n = int(duration * SR)
+    wav = np.zeros((2, n), dtype=np.float32)
+    vl = [[], []]
+    va, vb = rng.choice(len(voices), size=2, replace=False)
+    chan_voice = (voices[va], voices[vb])
+    t = float(rng.uniform(0.2, 0.6))
+    ch = int(rng.random() < 0.5)
+    while True:
+        cands = by_voice[chan_voice[ch]]
+        p = cands[rng.integers(len(cands))]
+        x = p["x"]
+        rms = float(np.sqrt((x**2).mean()) + 1e-8)
+        x = x * (target_rms / rms)
+        s0 = int(t * SR)
+        s1 = s0 + len(x)
+        if s1 >= n - int(0.5 * SR):
+            break
+        wav[ch, s0:s1] += x
+        for a, b in p["vad"]:
+            vl[ch].append([round(t + a, 3), round(t + b, 3)])
+        end = s1 / SR
+        if rng.random() < p_shift:  # turn shift: other speaker next
+            gap = float(rng.uniform(0.15, 0.7))
+            if rng.random() < p_overlap:
+                gap = -float(rng.uniform(0.05, 0.25))  # overlapped shift
+            ch = 1 - ch
+        else:  # hold: same speaker continues after an intra-turn pause
+            gap = float(rng.uniform(0.35, 1.1))
+        t = end + gap
+    for c in range(2):
+        vl[c].sort()
+    return wav, vl
+
+
+def write_wav(path, data):
+    pcm = (np.clip(data.T, -1, 1) * 32767).astype(np.int16)
+    with wave.open(path, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(SR)
+        w.writeframes(pcm.tobytes())
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--ref", default="/root/reference/dataset_phrases")
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--n_train", type=int, default=200)
+    ap.add_argument("--n_val", type=int, default=24)
+    ap.add_argument("--duration", type=float, default=24.0)
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args()
+
+    rows = read_phrase_rows(args.ref)
+    by_voice = {}
+    for r in rows:
+        r["x"] = load_wav_mono(r["audio_path"])
+        by_voice.setdefault(r["voice"], []).append(r)
+    all_voices = sorted(by_voice)
+    val_voices = [v for v in all_voices if v in VAL_VOICES]
+    train_voices = [v for v in all_voices if v not in VAL_VOICES]
+    print(f"{len(rows)} phrases, {len(all_voices)} voices "
+          f"({len(train_voices)} train / {len(val_voices)} val)")
+
+    os.makedirs(args.out, exist_ok=True)
+    rng = np.random.default_rng(args.seed)
+    for split, n_sessions, voices in (
+        ("train", args.n_train, train_voices),
+        ("val", args.n_val, val_voices),
+    ):
+        man_rows = []
+        for i in range(n_sessions):
+            wav, vl = make_session(rng, args.duration, by_voice, voices)
+            wp = os.path.join(args.out, f"{split}_{i:04d}.wav")
+            vp = os.path.join(args.out, f"{split}_{i:04d}_vad.json")
+            write_wav(wp, wav)
+            with open(vp, "w") as f:
+                json.dump(vl, f)
+            man_rows.append({"audio_path": wp, "vad_path": vp})
+        man = os.path.join(args.out, f"{split}.csv")
+        with open(man, "w", newline="") as f:
+            w = csv.DictWriter(f, fieldnames=["audio_path", "vad_path"])
+            w.writeheader()
+            w.writerows(man_rows)
+        print(f"{split}: {n_sessions} x {args.duration:.0f}s -> {man}")
+
+
+if __name__ == "__main__":
+    main()

@@ -199,6 +199,12 @@ class DataConfig(ArgparseMixin):
     #   "resample" — host-side resample-and-crop (fast but shifts tempo,
     #              de-aligning VAD labels; kept for comparison).
     pitch_mode: str = "vocoder"
+    # per-sample probability of the waveform-augmentation branch (pitch /
+    # noise / freq-mask, reference transforms.py:58-70 weights); 0 turns
+    # waveform augmentation off entirely (channel flip is separate) —
+    # used e.g. by the phrases-prosody training run, where pitch-shift
+    # augmentation would train away the F0 sensitivity being probed
+    augment_probability: float = 0.5
     batch_size: int = 16
     num_workers: int = 2
 

@@ -267,6 +267,137 @@ def _single_block_kernel_v3(
     jax.lax.fori_loop(0, n_heads, head_step, 0)
 
 
+def _single_block_kernel_v4(
+    slope_ref,  # (H,) SMEM scalar-prefetch — per-head ALiBi slopes
+    q_ref,      # (1, H, Tp, dh) VMEM
+    k_ref,      # (1, H, Tp, dh) VMEM
+    v_ref,      # (1, H, Tp, dh) VMEM
+    o_ref,      # (1, H, Tp, dh) VMEM
+    *,
+    scale: float,
+    tp: int,
+    n_heads: int,
+):
+    """bf16 score planes: the pass is bound by (Tp, Tp) plane traffic
+    through VMEM, not MXU flops (v1/v2/v3/tri all tie; the MXU floor for
+    this shape is ~0.2 ms vs ~3 ms measured), so the lever is BYTES — the
+    score/weight planes are kept in bfloat16 end to end, halving every
+    plane read/write. Composition:
+    * log2-domain scores (v2): scale*log2e folded into q, exp2 softmax;
+    * MXU output directly in bf16 (preferred_element_type) — the (Tp, Tp)
+      f32->bf16 cast pass disappears;
+    * denominator from the MXU via ones-extended V (v3): no VPU plane sum;
+    * row max in bf16 (comparisons are exact; the m-shift keeps exp2 args
+      small so bf16's 8-bit mantissa bounds per-weight error at ~0.4%).
+    MEASURED AND REJECTED on v5e (B=64, H=4, T=1000): 3.33 ms/pass vs
+    v3's 3.37 — no speedup (the VPU unpacks bf16 to f32 internally, so
+    halving plane bytes doesn't halve plane time) — and max output error
+    1.6 vs dense (the absolute ALiBi bias reaches slope*log2e*T ~ 360
+    where bf16's quantum is 2, i.e. +-1 in log2 = 2x weight error). Kept
+    selectable for the record; never auto-selected."""
+    f32 = jnp.float32
+    bf = jnp.bfloat16
+    gqi = jax.lax.broadcasted_iota(jnp.int32, (tp, 1), 0)
+    gki = jax.lax.broadcasted_iota(jnp.int32, (1, tp), 1)
+    causal = gki <= gqi
+    gk = gki.astype(f32)
+
+    def head_step(h, carry):
+        qs = (q_ref[0, h].astype(f32) * (scale * LOG2E)).astype(q_ref.dtype)
+        # Mosaic requires a 32-bit matmul accumulator; the bf16 cast rides
+        # the epilogue so the STORED plane is 2 bytes/elem
+        s = jax.lax.dot_general(
+            qs, k_ref[0, h],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=f32,
+        ).astype(bf)  # (Tp, Tp) bf16 log2-domain scores
+        bias = ((slope_ref[h] * LOG2E) * gk).astype(bf)  # (1, tp)
+        s = jnp.where(causal, s + bias, bf(NEG_INF))
+        m = jnp.max(s, axis=1, keepdims=True)
+        p = jnp.exp2((s - m).astype(bf))
+        v = v_ref[0, h]
+        ve = jnp.concatenate([v, jnp.ones_like(v)], axis=-1)  # (Tp, 2*dh)
+        pv = jax.lax.dot_general(
+            p, ve,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=f32,
+        )
+        dh = v.shape[-1]
+        o_ref[0, h] = (pv[:, :dh] / pv[:, dh : dh + 1]).astype(o_ref.dtype)
+        return carry
+
+    jax.lax.fori_loop(0, n_heads, head_step, 0)
+
+
+def _single_block_kernel_v5(
+    slope_ref,  # (H,) SMEM scalar-prefetch — per-head ALiBi slopes
+    q_ref,      # (1, H, Tp, dh) VMEM
+    k_ref,      # (1, H, Tp, dh) VMEM
+    v_ref,      # (1, H, Tp, dh) VMEM
+    o_ref,      # (1, H, Tp, dh) VMEM
+    d_scr,      # (Tp, Tp) f32 VMEM scratch — shared bias/mask plane
+    *,
+    scale: float,
+    tp: int,
+    n_heads: int,
+):
+    """Max-free single-pass softmax. The on-chip A/Bs showed the pass is
+    bound by the NUMBER of (Tp, Tp) plane traversals, not plane bytes
+    (v4) or analytic op trims within the same traversals (v2/v3/tri all
+    tie ~3 ms at B=64 H=4 T=1000). This variant removes traversals
+    structurally:
+
+    * NO row-max reduction: softmax is shifted by a Cauchy-Schwarz upper
+      bound b_i = scale*log2e*||q_i||*max_j||k_j|| >= max_j s_ij, computed
+      from (Tp, dh) norms — O(Tp*dh) work instead of a (Tp, Tp) plane
+      read. All weights scale by the same 2^-(b_i - max_i), so the
+      normalized output is exact; the bound is loose by a few log2 units
+      at most, far inside f32 range (exactness vs v1 ~1e-7 f32).
+    * ONE shared bias+mask plane: D = where(causal, gk - gq, -inf) is
+      built once per batch row and reused by all H heads — the per-head
+      chain is then a single fused traversal p = exp2(s + slope*D - b).
+    * denominator from the MXU via ones-extended V (v3's trick): no VPU
+      plane sum.
+
+    Per-head plane traversals: MXU write s, fused exp2 read/write, PV
+    read — ~3 vs v1's ~6."""
+    f32 = jnp.float32
+    gqi = jax.lax.broadcasted_iota(jnp.int32, (tp, 1), 0)
+    gki = jax.lax.broadcasted_iota(jnp.int32, (1, tp), 1)
+    diff = (gki - gqi).astype(f32)  # <= 0 in the causal region
+    d_scr[:] = jnp.where(gki <= gqi, diff, NEG_INF)
+
+    def head_step(h, carry):
+        q = q_ref[0, h]
+        k = k_ref[0, h]
+        qs = (q.astype(f32) * (scale * LOG2E)).astype(q.dtype)
+        s = jax.lax.dot_general(
+            qs, k,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=f32,
+        )  # (Tp, Tp) log2-domain scores
+        # row bound: ||qs_i|| * max_j ||k_j|| >= max_j qs_i . k_j >= max s
+        qn = jnp.sqrt(
+            jnp.sum(qs.astype(f32) * qs.astype(f32), axis=1, keepdims=True)
+        )  # (Tp, 1)
+        kn2 = jnp.max(jnp.sum(k.astype(f32) * k.astype(f32), axis=1))
+        b = qn * jnp.sqrt(kn2)  # (Tp, 1), >= row max of s
+        slope = slope_ref[h] * LOG2E
+        p = jnp.exp2(s + slope * d_scr[:] - b).astype(v_ref.dtype)
+        v = v_ref[0, h]
+        ve = jnp.concatenate([v, jnp.ones_like(v)], axis=-1)  # (Tp, 2*dh)
+        pv = jax.lax.dot_general(
+            p, ve,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=f32,
+        )
+        dh = v.shape[-1]
+        o_ref[0, h] = (pv[:, :dh] / pv[:, dh : dh + 1]).astype(o_ref.dtype)
+        return carry
+
+    jax.lax.fori_loop(0, n_heads, head_step, 0)
+
+
 def _single_block_kernel_tri(
     slope_ref,  # (H,) SMEM scalar-prefetch — per-head ALiBi slopes
     q_ref,      # (1, H, Tp, dh) VMEM
@@ -355,6 +486,9 @@ def _single_block_forward(q, k, v, slopes, scale):
             pl.BlockSpec((1, H, tp, Dh), lambda b, *_: (b, 0, 0, 0)),
         ],
         out_specs=pl.BlockSpec((1, H, tp, Dh), lambda b, *_: (b, 0, 0, 0)),
+        scratch_shapes=(
+            [pltpu.VMEM((tp, tp), jnp.float32)] if impl == "v5" else []
+        ),
     )
     if impl == "tri":
         kernel = functools.partial(
@@ -367,6 +501,14 @@ def _single_block_forward(q, k, v, slopes, scale):
     elif impl == "v3":
         kernel = functools.partial(
             _single_block_kernel_v3, scale=scale, tp=tp, n_heads=H
+        )
+    elif impl == "v4":
+        kernel = functools.partial(
+            _single_block_kernel_v4, scale=scale, tp=tp, n_heads=H
+        )
+    elif impl == "v5":
+        kernel = functools.partial(
+            _single_block_kernel_v5, scale=scale, tp=tp, n_heads=H
         )
     else:
         kernel = functools.partial(

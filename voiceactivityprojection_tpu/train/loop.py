@@ -156,7 +156,11 @@ class Trainer:
             make_train_step_augmented,
         )
 
-        self.augment = Augmentation(seed=seed, pitch_mode=self.data_conf.pitch_mode)
+        self.augment = Augmentation(
+            seed=seed,
+            pitch_mode=self.data_conf.pitch_mode,
+            probability=self.data_conf.augment_probability,
+        )
         # fused augment+train step: one dispatch per step (see
         # make_train_step_augmented's measured motivation)
         self.train_step = make_train_step_augmented(
