@@ -88,8 +88,8 @@ def main():
                 s = jax.lax.dot_general(
                     q_ref[0, h], k_ref[0, h],
                     dimension_numbers=(((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.bfloat16,
-                )
+                    preferred_element_type=jnp.float32,
+                ).astype(jnp.bfloat16)
                 pv = jax.lax.dot_general(
                     s, v_ref[0, h],
                     dimension_numbers=(((1,), (0,)), ((), ())),

@@ -352,7 +352,24 @@ def _input_rows(x: jax.Array, n_tiles: int, t1out: int, ms: int) -> jax.Array:
     MXU. The leading 160-sample shift makes every o(p, b, tap) offset
     non-negative; window row 0 (entirely left-halo, g < 0) and tap >= K0
     lanes are neutralized downstream by the kernel's t0p validity mask
-    and the zero-padded tap weights respectively."""
+    and the zero-padded tap weights respectively.
+
+    Why this XLA-side relayout exists at all (~3-5 ms of the 71 ms B=64
+    forward; ROADMAP perf backlog): a fully in-kernel construction was
+    analyzed and is blocked structurally, not by tuning. The map from
+    contiguous sample rows to stride-160 window rows CHANGES THE ROW
+    COUNT (one window row per 160 samples vs one DMA row per 128/256/640
+    lanes), and (a) an MXU one-hot matmul preserves the row dimension —
+    it can only reshuffle lanes, which is why the in-kernel tap expand
+    works (window row == input row) but the row expand cannot; (b) every
+    legal DMA row width (multiples of 128 lanes) is incommensurate with
+    the 160-sample stride, so window rows have 8/16 distinct alignment
+    classes whose interleave is a sublane shuffle Mosaic has no cheap
+    form for. The measured alternatives: XLA gather 15.3 ms, identity-
+    conv patches ~6 ms, this pad+reshape+concat ~3-5 ms.
+
+    VAP_CONV_ROWPREP=write selects a concat-free variant (two writes into
+    one preallocated buffer) for on-chip A/B."""
     R, n = x.shape
     left = S0 * P1 + P0
     stride = NPAR * PACK * S0  # 160 samples per window row
@@ -361,6 +378,13 @@ def _input_rows(x: jax.Array, n_tiles: int, t1out: int, ms: int) -> jax.Array:
     xq = jnp.zeros((R, max(L, stride + left + n)), dtype=x.dtype)
     xq = xq.at[:, stride + left : stride + left + n].set(x)
     xr = xq[:, :L].reshape(R, Wrows + 1, stride)
+    if _os.environ.get("VAP_CONV_ROWPREP") == "write":
+        out = jnp.zeros((R, Wrows, ROWLEN), dtype=x.dtype)
+        out = out.at[:, :, :stride].set(xr[:, :Wrows])
+        out = out.at[:, :, stride:].set(
+            xr[:, 1 : Wrows + 1, : ROWLEN - stride]
+        )
+        return out
     # overlap: append the next row's first (ROWLEN - stride) samples
     return jnp.concatenate(
         [xr[:, :Wrows], xr[:, 1 : Wrows + 1, : ROWLEN - stride]], axis=-1
