@@ -341,11 +341,14 @@ def _single_block_kernel_v5(
     tp: int,
     n_heads: int,
 ):
-    """Max-free single-pass softmax. The on-chip A/Bs showed the pass is
-    bound by the NUMBER of (Tp, Tp) plane traversals, not plane bytes
-    (v4) or analytic op trims within the same traversals (v2/v3/tri all
-    tie ~3 ms at B=64 H=4 T=1000). This variant removes traversals
-    structurally:
+    """Max-free single-pass softmax. SUPERSEDED BY MEASUREMENT before it
+    ran: the matmuls-only floor (examples/bench_attn_mxu.py, B=64 H=4
+    T=1000 bf16) takes 2.77 ms vs the full v1 kernel's 3.49 — the pass
+    is bound by the (Tp, Tp) x Dh=64 matmul pair (K=64 systolic underfill
+    + f32-accumulator plane traffic), so removing softmax traversals
+    cannot recover more than ~0.7 ms; on hardware this variant also
+    compiles pathologically (>12 min, killed). Kept as the record of the
+    traversal-reduction design; v1 stays the default. Design notes:
 
     * NO row-max reduction: softmax is shifted by a Cauchy-Schwarz upper
       bound b_i = scale*log2e*||q_i||*max_j||k_j|| >= max_j s_ij, computed
