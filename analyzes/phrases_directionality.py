@@ -1,0 +1,143 @@
+"""SIGDIAL-2022 directionality analysis of the phrases prosody probes.
+
+The reference's phrases evaluation exists to show that the model reads
+PROSODY, not just silence: flattening F0 (and intensity) on the final
+words of a turn should DEPRESS the model's shift probability in the
+predictive region just before the end of turn — the model hears a
+turn-final contour as "done" and a flattened one as "not done yet"
+(reference vap/phrases/evaluation_phrases.py:290-379).
+
+This script turns evaluate_phrases.py's per-sample CSV into that test:
+for each permutation it pairs every (phrase, long_short, gender,
+phrase_idx) sample with its own regular version and reports the mean
+paired difference in shift probability per region, a bootstrap 95% CI,
+and a sign test — then prints an explicit pass/fail line against the
+expected ordering:
+
+  flat_f0        : pred-region shift prob should DROP vs regular
+  flat_intensity : should drop (weaker, per the paper)
+  duration_avg   : should drop for long phrases (final lengthening gone)
+  only_f0        : segmental info removed; large drop expected
+
+Usage:
+    python analyzes/phrases_directionality.py --scores phrases_eval/phrases_scores.csv
+"""
+
+import argparse
+import csv
+import json
+import math
+import os
+import sys
+from collections import defaultdict
+
+import numpy as np
+
+REGIONS = ("now_hold", "now_pred", "now_react",
+           "future_hold", "future_pred", "future_react", "scp_now_pred")
+
+
+def load_rows(path):
+    with open(path) as f:
+        return list(csv.DictReader(f))
+
+
+def paired_diffs(rows, perm, region):
+    """Per-sample (permutation - regular) differences for one region."""
+    key = lambda r: (r["phrase"], r["long_short"], r["gender"], r["phrase_idx"])
+    reg = {key(r): r for r in rows if r["permutation"] == "regular"}
+    out = []
+    for r in rows:
+        if r["permutation"] != perm:
+            continue
+        base = reg.get(key(r))
+        if base is None:
+            continue
+        a, b = r.get(region, ""), base.get(region, "")
+        try:
+            a, b = float(a), float(b)
+        except ValueError:
+            continue
+        if math.isnan(a) or math.isnan(b):
+            continue
+        out.append(a - b)
+    return np.asarray(out)
+
+
+def bootstrap_ci(d, n=2000, seed=0):
+    rng = np.random.default_rng(seed)
+    means = np.sort(
+        rng.choice(d, size=(n, len(d)), replace=True).mean(axis=1)
+    )
+    return float(means[int(0.025 * n)]), float(means[int(0.975 * n)])
+
+
+def sign_test_p(d):
+    """Two-sided sign test (binomial, ties dropped)."""
+    nz = d[d != 0]
+    n = len(nz)
+    if n == 0:
+        return 1.0
+    k = int((nz < 0).sum())
+    from math import comb
+
+    tail = sum(comb(n, j) for j in range(min(k, n - k) + 1)) / 2.0**n
+    return min(1.0, 2.0 * tail)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scores", default="phrases_eval/phrases_scores.csv")
+    ap.add_argument("--out", default="")
+    args = ap.parse_args()
+
+    rows = load_rows(args.scores)
+    perms = sorted({r["permutation"] for r in rows} - {"regular"})
+    report = {}
+    print(f"{len(rows)} rows, permutations: {perms}\n")
+    print(f"{'permutation':15s} {'region':16s} {'n':>4s} {'mean d':>9s} "
+          f"{'95% CI':>20s} {'sign-p':>8s}")
+    for perm in perms:
+        report[perm] = {}
+        for region in ("now_pred", "future_pred", "now_react", "scp_now_pred"):
+            d = paired_diffs(rows, perm, region)
+            if len(d) < 5:
+                continue
+            lo, hi = bootstrap_ci(d)
+            p = sign_test_p(d)
+            report[perm][region] = {
+                "n": int(len(d)), "mean": float(d.mean()),
+                "ci95": [lo, hi], "sign_p": p,
+            }
+            print(f"{perm:15s} {region:16s} {len(d):4d} {d.mean():+9.4f} "
+                  f"[{lo:+8.4f}, {hi:+8.4f}] {p:8.2g}")
+
+    # the headline SIGDIAL check
+    print("\n--- directionality verdicts (predictive region, p_now) ---")
+    verdicts = {}
+    for perm, want_drop in (
+        ("flat_f0", True), ("flat_intensity", True),
+        ("only_f0", True), ("duration_avg", True),
+    ):
+        r = report.get(perm, {}).get("now_pred")
+        if r is None:
+            continue
+        lo, hi = r["ci95"]
+        if want_drop:
+            status = ("CONFIRMED (CI < 0)" if hi < 0 else
+                      "directionally consistent (mean < 0, CI spans 0)"
+                      if r["mean"] < 0 else "NOT OBSERVED (mean >= 0)")
+        verdicts[perm] = {"expected": "drop", "observed_mean": r["mean"],
+                          "ci95": r["ci95"], "status": status}
+        print(f"{perm:15s} expected drop; mean d {r['mean']:+.4f} "
+              f"CI [{lo:+.4f}, {hi:+.4f}] -> {status}")
+
+    if args.out:
+        os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+        with open(args.out, "w") as f:
+            json.dump({"regions": report, "verdicts": verdicts}, f, indent=1)
+        print(f"\nsaved -> {args.out}")
+
+
+if __name__ == "__main__":
+    main()
