@@ -112,25 +112,46 @@ def main():
             print(f"{perm:15s} {region:16s} {len(d):4d} {d.mean():+9.4f} "
                   f"[{lo:+8.4f}, {hi:+8.4f}] {p:8.2g}")
 
-    # the headline SIGDIAL check
-    print("\n--- directionality verdicts (predictive region, p_now) ---")
+    # the headline SIGDIAL checks: flattening a prosodic dimension of the
+    # turn-final words should DEPRESS the shift probability around EOT
+    # (predictive region before it, reactive region right after); pitch
+    # SHIFTS preserve the contour and should do ~nothing; only_f0 is an
+    # information-removal control with no signed expectation.
+    print("\n--- directionality verdicts ---")
     verdicts = {}
-    for perm, want_drop in (
-        ("flat_f0", True), ("flat_intensity", True),
-        ("only_f0", True), ("duration_avg", True),
-    ):
-        r = report.get(perm, {}).get("now_pred")
+    checks = (
+        ("flat_f0", "now_pred"), ("flat_f0", "now_react"),
+        ("flat_intensity", "now_pred"), ("flat_intensity", "now_react"),
+        ("duration_avg", "now_pred"), ("duration_avg", "now_react"),
+    )
+    for perm, region in checks:
+        r = report.get(perm, {}).get(region)
         if r is None:
             continue
         lo, hi = r["ci95"]
-        if want_drop:
-            status = ("CONFIRMED (CI < 0)" if hi < 0 else
-                      "directionally consistent (mean < 0, CI spans 0)"
-                      if r["mean"] < 0 else "NOT OBSERVED (mean >= 0)")
-        verdicts[perm] = {"expected": "drop", "observed_mean": r["mean"],
-                          "ci95": r["ci95"], "status": status}
-        print(f"{perm:15s} expected drop; mean d {r['mean']:+.4f} "
-              f"CI [{lo:+.4f}, {hi:+.4f}] -> {status}")
+        status = ("CONFIRMED (CI < 0)" if hi < 0 else
+                  "directionally consistent (mean < 0, CI spans 0)"
+                  if r["mean"] < 0 else "NOT OBSERVED (mean >= 0)")
+        verdicts[f"{perm}/{region}"] = {
+            "expected": "drop", "observed_mean": r["mean"],
+            "ci95": r["ci95"], "status": status,
+        }
+        print(f"{perm:15s} {region:10s} expected drop; mean d "
+              f"{r['mean']:+.4f} CI [{lo:+.4f}, {hi:+.4f}] -> {status}")
+    for perm in ("shift_f0_up", "shift_f0_down"):
+        r = report.get(perm, {}).get("now_react")
+        if r is None:
+            continue
+        small = abs(r["mean"]) < 0.02
+        verdicts[f"{perm}/now_react"] = {
+            "expected": "~no effect (contour preserved)",
+            "observed_mean": r["mean"], "ci95": r["ci95"],
+            "status": "consistent (|mean| < 0.02)" if small
+            else "unexpectedly large",
+        }
+        print(f"{perm:15s} {'now_react':10s} expected ~none; mean d "
+              f"{r['mean']:+.4f} -> "
+              f"{verdicts[f'{perm}/now_react']['status']}")
 
     if args.out:
         os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
