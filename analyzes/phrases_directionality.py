@@ -28,8 +28,6 @@ import csv
 import json
 import math
 import os
-import sys
-from collections import defaultdict
 
 import numpy as np
 

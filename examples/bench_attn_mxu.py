@@ -18,7 +18,6 @@ isolates the mechanisms:
 Usage: python examples/bench_attn_mxu.py [B] [T]
 """
 
-import functools
 import os
 import sys
 import time
