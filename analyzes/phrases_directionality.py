@@ -14,10 +14,12 @@ paired difference in shift probability per region, a bootstrap 95% CI,
 and a sign test — then prints an explicit pass/fail line against the
 expected ordering:
 
-  flat_f0        : pred-region shift prob should DROP vs regular
-  flat_intensity : should drop (weaker, per the paper)
-  duration_avg   : should drop for long phrases (final lengthening gone)
-  only_f0        : segmental info removed; large drop expected
+  flat_f0        : shift prob should DROP around EOT vs regular
+  flat_intensity : should drop
+  duration_avg   : should drop (final lengthening removed)
+  shift_f0_up/dn : ~NO effect (contour preserved, only the level moves)
+  only_f0        : information-removal control, no signed expectation
+                   (heavily low-passed speech reads as near-silence)
 
 Usage:
     python analyzes/phrases_directionality.py --scores phrases_eval/phrases_scores.csv
