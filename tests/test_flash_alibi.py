@@ -49,11 +49,14 @@ def test_flash_gradients_match_dense():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
 
 
-@pytest.mark.parametrize("impl", ["v1", "v2", "v3", "tri"])
+@pytest.mark.parametrize("impl", ["v1", "v2", "v3", "v5", "tri"])
 @pytest.mark.parametrize("T,cs", [(128, 128), (200, 256), (300, 128)])
 def test_single_block_impls_match_dense(monkeypatch, impl, T, cs):
-    """Both single-block kernels (full-plane v1 and triangle-chunked tri)
-    must agree with dense, including T not a multiple of the chunk size."""
+    """All exact single-block kernels (full-plane v1/v2/v3, max-free
+    bounded-softmax v5, triangle-chunked tri) must agree with dense,
+    including T not a multiple of the chunk size. (v4 — bf16 planes — is
+    a measured-and-rejected variant tested separately with its inherent
+    rounding tolerance.)"""
     from voiceactivityprojection_tpu.ops.flash_alibi import _single_block_forward
 
     monkeypatch.setenv("VAP_FLASH_SINGLE_IMPL", impl)
@@ -69,6 +72,25 @@ def test_single_block_impls_match_dense(monkeypatch, impl, T, cs):
     want = np.asarray(_dense_reference(q, k, v, slopes, scale))
     got = np.asarray(_single_block_forward(q, k, v, slopes, scale))
     np.testing.assert_allclose(got, want, atol=3e-5)
+
+
+def test_single_block_v4_rough_agreement(monkeypatch):
+    """v4 keeps the score planes in bf16 (measured-and-rejected for
+    accuracy at T=1000 — see its docstring); regression-test that it
+    still runs and lands within its inherent bf16 rounding at small T."""
+    from voiceactivityprojection_tpu.ops.flash_alibi import _single_block_forward
+
+    monkeypatch.setenv("VAP_FLASH_SINGLE_IMPL", "v4")
+    B, H, T, Dh = 1, 4, 128, 16
+    ks = jax.random.split(jax.random.key(5), 3)
+    q = jax.random.normal(ks[0], (B, H, T, Dh))
+    k = jax.random.normal(ks[1], (B, H, T, Dh))
+    v = jax.random.normal(ks[2], (B, H, T, Dh))
+    slopes = alibi_slopes(H)
+    want = np.asarray(_dense_reference(q, k, v, slopes, 0.125))
+    got = np.asarray(_single_block_forward(q, k, v, slopes, 0.125))
+    np.testing.assert_allclose(got, want, atol=0.15)
+    assert np.abs(got - want).mean() < 0.02  # rough agreement, not noise
 
 
 @pytest.mark.parametrize(
