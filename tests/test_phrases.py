@@ -86,3 +86,50 @@ def test_phrase_probe_subset():
         "val_pl_hold", "val_pl_pred", "val_pl_react",
         "val_pls_hold", "val_pls_pred", "val_pls_react",
     }
+
+
+def test_directionality_paired_stats(tmp_path):
+    """analyzes/phrases_directionality.py: paired diffs pair each permuted
+    sample with ITS OWN regular version; the sign test and bootstrap CI
+    detect a planted effect and ignore an absent one."""
+    import csv as _csv
+    import importlib.util
+    import pathlib
+
+    spec = importlib.util.spec_from_file_location(
+        "pdir",
+        pathlib.Path(__file__).resolve().parents[1]
+        / "analyzes" / "phrases_directionality.py",
+    )
+    pdir = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(pdir)
+
+    rng = np.random.default_rng(0)
+    rows = []
+    for i in range(40):
+        key = dict(phrase="p", long_short="short", gender="f",
+                   phrase_idx=str(i))
+        base = float(rng.uniform(0.4, 0.6))
+        rows.append({**key, "permutation": "regular",
+                     "now_pred": f"{base:.6f}"})
+        rows.append({**key, "permutation": "flat_f0",
+                     "now_pred": f"{base - 0.1 + rng.normal(0, 0.005):.6f}"})
+        rows.append({**key, "permutation": "shift_f0_up",
+                     "now_pred": f"{base + rng.normal(0, 0.005):.6f}"})
+    path = tmp_path / "scores.csv"
+    with open(path, "w", newline="") as f:
+        w = _csv.DictWriter(f, fieldnames=sorted({k for r in rows for k in r}))
+        w.writeheader()
+        w.writerows(rows)
+
+    loaded = pdir.load_rows(str(path))
+    d_flat = pdir.paired_diffs(loaded, "flat_f0", "now_pred")
+    d_null = pdir.paired_diffs(loaded, "shift_f0_up", "now_pred")
+    assert len(d_flat) == len(d_null) == 40
+    assert d_flat.mean() == pytest.approx(-0.1, abs=0.01)
+    lo, hi = pdir.bootstrap_ci(d_flat)
+    assert hi < 0 < -lo  # planted drop: CI strictly below zero
+    assert pdir.sign_test_p(d_flat) < 1e-6
+    # absent effect: mean at the noise scale, sign test not significant
+    assert abs(d_null.mean()) < 0.005
+    assert pdir.sign_test_p(d_null) > 0.05
