@@ -114,8 +114,10 @@ def test_directionality_paired_stats(tmp_path):
                      "now_pred": f"{base:.6f}"})
         rows.append({**key, "permutation": "flat_f0",
                      "now_pred": f"{base - 0.1 + rng.normal(0, 0.005):.6f}"})
+        # null effect with sign-balanced noise by construction
+        null_noise = 0.005 * (1 + 0.1 * rng.random()) * (1 if i % 2 else -1)
         rows.append({**key, "permutation": "shift_f0_up",
-                     "now_pred": f"{base + rng.normal(0, 0.005):.6f}"})
+                     "now_pred": f"{base + null_noise:.6f}"})
     path = tmp_path / "scores.csv"
     with open(path, "w", newline="") as f:
         w = _csv.DictWriter(f, fieldnames=sorted({k for r in rows for k in r}))
