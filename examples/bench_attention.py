@@ -114,11 +114,14 @@ def main():
         timeit("MXU floor (matmuls only)", jax.jit(f), qp, kp, vp)
 
     mxu_floor()
-    # alternating repeats: tunnel noise is the measurement floor
-    for rep in range(3):
+    # alternating repeats: tunnel noise is the measurement floor.
+    # v5 is NOT in the default sweep: it compiles pathologically on
+    # hardware (>12 min Mosaic compile, killed) and the mxu_floor result
+    # proves it cannot win anyway (see its docstring); select it
+    # explicitly with VAP_FLASH_SINGLE_IMPL=v5 if re-examining.
+    for rep in range(2):
         run("v1")
-        run("v5")
-    run("v3")
+        run("v3")
     run("v4")
     timeit("dense f32 XLA", dense, q, k, v)
 
