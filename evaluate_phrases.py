@@ -93,6 +93,12 @@ def main() -> None:
         "--permutations", nargs="+", default=list(PERMUTATIONS), choices=PERMUTATIONS
     )
     parser.add_argument("--limit", type=int, default=0, help="debug sample cap")
+    parser.add_argument(
+        "--directionality", action="store_true",
+        help="after scoring, run the paired SIGDIAL directionality "
+             "analysis (analyzes/phrases_directionality.py) and save "
+             "directionality.json next to the CSV",
+    )
     VapConfig.add_argparse_args(parser)
     args = parser.parse_args()
 
@@ -170,6 +176,27 @@ def main() -> None:
             }
     write_json(agg, os.path.join(args.out_dir, "phrases_aggregate.json"))
     print(f"Saved -> {csv_path} and phrases_aggregate.json")
+
+    if args.directionality:
+        import importlib.util
+        import sys as _sys
+
+        spec = importlib.util.spec_from_file_location(
+            "phrases_directionality",
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "analyzes", "phrases_directionality.py"),
+        )
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        argv = _sys.argv
+        _sys.argv = [
+            "phrases_directionality", "--scores", csv_path,
+            "--out", os.path.join(args.out_dir, "directionality.json"),
+        ]
+        try:
+            mod.main()
+        finally:
+            _sys.argv = argv
 
 
 if __name__ == "__main__":

@@ -74,9 +74,10 @@ def test_evaluate_phrases_cli(tmp_path):
     out = tmp_path / "phr"
     r = _run([
         "evaluate_phrases.py", "--limit", "2", "--out_dir", str(out),
-        "--permutations", "regular", "flat_f0",
+        "--permutations", "regular", "flat_f0", "--directionality",
     ] + SMALL)
     assert (out / "aggregate.json").exists() or r.stdout
+    assert (out / "directionality.json").exists()
 
 
 def test_pretrain_cpc_cli(corpus, tmp_path):
