@@ -85,13 +85,32 @@ def sign_test_p(d):
     return min(1.0, 2.0 * tail)
 
 
+# examples/make_phrases_dialog_corpus.py holds out VAL_VOICES =
+# (en-US-Wavenet-F, en-US-Wavenet-D) from training; in the reference
+# corpus metadata those are exactly phrase_idx == 4 for female and male
+# respectively (dataset_phrases/*.csv tts column), so the held-out subset
+# is identifiable from the scores CSV alone.
+HELDOUT_PHRASE_IDX = "4"
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--scores", default="phrases_eval/phrases_scores.csv")
     ap.add_argument("--out", default="")
+    ap.add_argument(
+        "--voices", choices=("all", "heldout", "train"), default="all",
+        help="restrict the analysis by the pseudo-dialog corpus' voice "
+             "split: 'heldout' keeps only the two voices the probe model "
+             "never trained on (phrase_idx 4 = Wavenet-F/D), removing the "
+             "train/probe audio overlap caveat entirely",
+    )
     args = ap.parse_args()
 
     rows = load_rows(args.scores)
+    if args.voices == "heldout":
+        rows = [r for r in rows if r["phrase_idx"] == HELDOUT_PHRASE_IDX]
+    elif args.voices == "train":
+        rows = [r for r in rows if r["phrase_idx"] != HELDOUT_PHRASE_IDX]
     perms = sorted({r["permutation"] for r in rows} - {"regular"})
     report = {}
     print(f"{len(rows)} rows, permutations: {perms}\n")
