@@ -80,10 +80,13 @@ def main():
     key = jax.device_put(jax.random.key(1))
 
     fwd = jax.jit(lambda p, b, k: loss_fn(p, b, conf, k)[0])
+    # NOTE: must return the grads too — returning only the value would
+    # let XLA dead-code-eliminate the entire backward at compile time
+    # (measured: "backward = 0.03 ms"), silently timing just the forward
     grad = jax.jit(
         lambda p, b, k: jax.value_and_grad(
             lambda pp: loss_fn(pp, b, conf, k)[0]
-        )(p)[0]
+        )(p)
     )
     aug = jax.jit(
         lambda b, k: augment_on_device(
