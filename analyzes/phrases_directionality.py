@@ -85,12 +85,36 @@ def sign_test_p(d):
     return min(1.0, 2.0 * tail)
 
 
-# examples/make_phrases_dialog_corpus.py holds out VAL_VOICES =
-# (en-US-Wavenet-F, en-US-Wavenet-D) from training; in the reference
-# corpus metadata those are exactly phrase_idx == 4 for female and male
-# respectively (dataset_phrases/*.csv tts column), so the held-out subset
-# is identifiable from the scores CSV alone.
-HELDOUT_PHRASE_IDX = "4"
+def heldout_keys():
+    """(gender, phrase_idx) pairs of the voices the pseudo-dialog corpus
+    generator holds out of training. Derived at runtime from the
+    generator's own VAL_VOICES and the reference corpus' tts column, so an
+    edit to VAL_VOICES cannot silently desynchronize the --voices split
+    (advisor finding r3). Falls back to the documented mapping
+    (Wavenet-F/D = phrase_idx 4) only when either source is unavailable."""
+    try:
+        import sys
+
+        sys.path.insert(
+            0,
+            os.path.join(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__))), "examples"),
+        )
+        from make_phrases_dialog_corpus import VAL_VOICES  # type: ignore
+
+        import pandas as pd
+
+        df = pd.read_csv("/root/reference/dataset_phrases/phrases.csv")
+        pairs = {
+            (str(g), str(i))
+            for g, i, t in zip(df["gender"], df["phrase_idx"], df["tts"])
+            if t in VAL_VOICES
+        }
+        assert pairs, f"no corpus rows match VAL_VOICES={VAL_VOICES}"
+        return pairs
+    except Exception as e:  # generator or corpus not importable here
+        print(f"# heldout_keys fallback (phrase_idx 4 = Wavenet-F/D): {e}")
+        return {("female", "4"), ("male", "4")}
 
 
 def main():
@@ -107,10 +131,12 @@ def main():
     args = ap.parse_args()
 
     rows = load_rows(args.scores)
-    if args.voices == "heldout":
-        rows = [r for r in rows if r["phrase_idx"] == HELDOUT_PHRASE_IDX]
-    elif args.voices == "train":
-        rows = [r for r in rows if r["phrase_idx"] != HELDOUT_PHRASE_IDX]
+    if args.voices != "all":
+        held = heldout_keys()
+        is_held = lambda r: (r["gender"], r["phrase_idx"]) in held
+        keep = is_held if args.voices == "heldout" else (
+            lambda r: not is_held(r))
+        rows = [r for r in rows if keep(r)]
     perms = sorted({r["permutation"] for r in rows} - {"regular"})
     report = {}
     print(f"{len(rows)} rows, permutations: {perms}\n")

@@ -26,6 +26,14 @@ def main() -> None:
     parser = argparse.ArgumentParser(description="VAP evaluation")
     parser.add_argument("--checkpoint", type=str, default="", help="orbax ckpt dir")
     parser.add_argument("--state_dict", type=str, default="", help="torch .pt import")
+    parser.add_argument(
+        "--allow_random_init", action="store_true",
+        help="evaluate RANDOM-INIT weights (smoke tests only). Without "
+        "this flag the CLI refuses to run when neither --checkpoint nor "
+        "--state_dict is given — a typo'd checkpoint path must not "
+        "silently produce garbage metrics CSVs (the reference hard-"
+        "requires a checkpoint, vap/evaluation.py:255-262)",
+    )
     parser.add_argument("--out_dir", type=str, default="eval")
     parser.add_argument("--limit_batches", type=int, default=0)
     parser.add_argument("--no_threshold_search", action="store_true")
@@ -58,7 +66,12 @@ def main() -> None:
             model.params = restored["params"]
             print(f"Restored checkpoint: {args.checkpoint}")
         else:
-            print("WARNING: random-init weights")
+            if not args.allow_random_init:
+                parser.error(
+                    "no weights given: pass --checkpoint or --state_dict "
+                    "(or --allow_random_init for an explicit smoke run)"
+                )
+            print("WARNING: random-init weights (--allow_random_init)")
 
     loader = VapDataLoader(
         SlidingWindowDataset(

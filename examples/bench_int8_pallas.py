@@ -113,10 +113,18 @@ if __name__ == "__main__" and "--vmem" not in sys.argv:
 def _kernel_loop(a_ref, w_ref, o_ref, *, acc_t, reps):
     """reps dots on the SAME VMEM block: amortizes HBM so the measured
     rate is the raw MXU issue rate at this dtype (the fused conv kernel's
-    regime — activations never leave VMEM)."""
+    regime — activations never leave VMEM).
+
+    Each iteration's LHS depends on the previous accumulator (row 0 gets
+    acc[0,0] folded in, a ~K-element VPU add) so no compiler version can
+    hoist the loop-invariant dot or strength-reduce the loop to
+    reps * dot — which would silently inflate the measured rate ~reps x
+    (advisor finding r3). The perturbation's VPU cost is negligible next
+    to the (block_m, K) x (K, N) MXU work."""
     def body(i, acc):
+        a = a_ref[:].at[0].add(acc[0, :1].astype(a_ref.dtype))
         return acc + jax.lax.dot_general(
-            a_ref[:], w_ref[:], (((1,), (0,)), ((), ())),
+            a, w_ref[:], (((1,), (0,)), ((), ())),
             preferred_element_type=acc_t,
         )
     o_ref[:] = jax.lax.fori_loop(
@@ -148,6 +156,12 @@ def vmem_rate(dtype, acc_t, M=8192, K=2048, N=256, block_m=512, reps=16):
 def main_vmem():
     i8 = vmem_rate(jnp.int8, jnp.int32)
     bf = vmem_rate(jnp.bfloat16, jnp.float32)
+    # sanity guard: if a future compiler still managed to elide dots, the
+    # apparent rate would blow past any physical MXU rate (int8 nominal is
+    # 2x the ~197 TF/s bf16 peak on v5e)
+    assert bf < 2.0 * 197.0 and i8 < 2.5 * 197.0, (
+        f"measured rate exceeds hardware peak (bf16 {bf:.0f}, int8 {i8:.0f} "
+        "T/s): the bench loop was likely optimized away")
     print(f"int8/bf16 MXU issue-rate ratio: {i8 / bf:4.2f}x", flush=True)
 
 

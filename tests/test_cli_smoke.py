@@ -57,9 +57,23 @@ def test_evaluate_cli(corpus, tmp_path):
     _run([
         "evaluate.py", "--data_test_path", str(corpus / "val.csv"),
         "--data_batch_size", "2", "--limit_batches", "1",
-        "--out_dir", str(out),
+        "--out_dir", str(out), "--allow_random_init",
     ] + SMALL)
     assert (out / "metrics.csv").exists()
+
+
+def test_evaluate_cli_refuses_random_init(corpus, tmp_path):
+    """Without weights and without --allow_random_init the CLI must error
+    out instead of writing garbage metrics (VERDICT r3 weak #6)."""
+    env = dict(os.environ, VAP_PLATFORM="cpu")
+    r = subprocess.run(
+        [sys.executable, "evaluate.py",
+         "--data_test_path", str(corpus / "val.csv"),
+         "--out_dir", str(tmp_path / "eval")] + SMALL,
+        cwd=ROOT, capture_output=True, text=True, env=env, timeout=120,
+    )
+    assert r.returncode != 0
+    assert "allow_random_init" in (r.stderr + r.stdout)
 
 
 @pytest.mark.skipif(not os.path.exists(EXAMPLE_WAV), reason="no example wav")
