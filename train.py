@@ -38,7 +38,12 @@ def get_args() -> argparse.Namespace:
     )
     parser.add_argument("--max_epochs", type=int, default=100)
     parser.add_argument("--resume_from", type=str, default="",
-                        help="orbax checkpoint dir to restore params from")
+                        help="orbax checkpoint dir (e.g. runs/.../ckpt_last)"
+                             " to resume from: restores params + optimizer "
+                             "moments + LR + epoch + plateau/early-stop "
+                             "counters + host PRNGs (exact continuation); "
+                             "legacy params-only checkpoints load params "
+                             "with fresh optimizer state")
     parser.add_argument("--init_encoder_from", type=str, default="",
                         help="pretrain_cpc.py checkpoint dir (cpc_encoder) "
                              "to graft into fresh VAP params")

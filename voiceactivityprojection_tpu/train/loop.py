@@ -19,7 +19,7 @@ import json
 import os
 import time
 from dataclasses import asdict
-from typing import Dict, Optional
+from typing import Dict, Optional, Tuple
 
 import numpy as np
 import jax
@@ -338,18 +338,42 @@ class Trainer:
                     {"encoder": params["encoder"]},
                 )["encoder"]
             print(f"Initialized encoder from {init_encoder_from}")
-        if resume_from:
-            from voiceactivityprojection_tpu.models.checkpoint import (
-                restore_checkpoint,
-            )
-
-            params = restore_checkpoint(
-                os.path.abspath(resume_from), {"params": params}
-            )["params"]
-            print(f"Resumed params from {resume_from}")
         state = init_train_state(params, self.tx)
+        start_epoch = 0
+        best_val = float("inf")
+        resumed_full = False
+        if resume_from:
+            path = os.path.abspath(resume_from)
+            meta = {}
+            try:
+                with open(path + ".json") as f:
+                    meta = json.load(f)
+            except (OSError, ValueError):
+                pass  # no sidecar: legacy params-only checkpoint
+            if meta.get("format") == "trainstate_v2":
+                state, start_epoch, best_val = self._restore_full(
+                    state, path, meta, train_loader
+                )
+                resumed_full = True
+                print(
+                    f"Resumed FULL training state from {resume_from} "
+                    f"(epoch {start_epoch}, step {meta['step']})"
+                )
+            else:
+                from voiceactivityprojection_tpu.models.checkpoint import (
+                    restore_checkpoint,
+                )
+
+                params = restore_checkpoint(path, {"params": params})["params"]
+                state = init_train_state(params, self.tx)
+                print(
+                    f"Resumed params from {resume_from} (legacy params-only "
+                    "checkpoint: optimizer/schedule state starts fresh)"
+                )
         with jax.set_mesh(self.mesh):
-            if self.opt_conf.find_learning_rate:
+            # a full resume carries the plateau-adjusted LR in opt_state;
+            # re-running the LR sweep would clobber it
+            if self.opt_conf.find_learning_rate and not resumed_full:
                 # reference train.py:222-223: run the LR-range test and
                 # adopt the suggestion before training
                 found = self.find_lr(train_loader, params)
@@ -361,7 +385,6 @@ class Trainer:
             else:
                 state = replicate_tree(state, self.mesh)
             key = jax.random.key(self.seed + 1)
-            best_val = float("inf")
 
             base_key = jax.device_put(key)
 
@@ -386,7 +409,7 @@ class Trainer:
                     choice,
                 )
 
-            for epoch in range(self.max_epochs):
+            for epoch in range(start_epoch, self.max_epochs):
                 # ---- train
                 t0 = time.time()
                 losses = []
@@ -474,20 +497,31 @@ class Trainer:
                         record["train_mfu"] = round(achieved / peak, 4)
 
                 # ---- validate
+                stop = False
                 if val_loader is not None:
                     val = self.validate(state.params, val_loader)
                     record.update(val)
                     val_loss = val["val_loss"]
                     state = self.plateau.update(state, val_loss)
+                    stop = self.early_stop.update(val_loss)
                     if val_loss < best_val:
                         best_val = val_loss
-                        self.save(state, "best")
-                    if self.early_stop.update(val_loss):
-                        record["early_stop"] = True
-                        self.logger.log(record)
-                        break
+                        self.save(state, "best", epoch=epoch,
+                                  best_val=best_val, train_loader=train_loader)
+                # per-epoch resume anchor: ckpt_last always carries the
+                # full state as of the END of this epoch
+                self.save(state, "last", epoch=epoch, best_val=best_val,
+                          train_loader=train_loader)
+                if stop:
+                    record["early_stop"] = True
                 self.logger.log(record)
-            self.save(state, "last")
+                if stop:
+                    break
+            if not os.path.isdir(os.path.join(self.out_dir, "ckpt_last")):
+                # zero-epoch fit (max_epochs already reached, or 0): still
+                # leave a resume anchor in this out_dir
+                self.save(state, "last", epoch=start_epoch - 1,
+                          best_val=best_val, train_loader=train_loader)
         return state
 
     # ------------------------------------------------------------------
@@ -517,13 +551,86 @@ class Trainer:
         return rec
 
     # ------------------------------------------------------------------
-    def save(self, state: TrainState, tag: str) -> None:
+    def save(
+        self,
+        state: TrainState,
+        tag: str,
+        epoch: Optional[int] = None,
+        best_val: float = float("inf"),
+        train_loader=None,
+    ) -> None:
+        """Write the FULL training state (VERDICT r3 item 2; the reference's
+        Lightning .ckpt restores optimizer state, epoch and callback state,
+        vap/train.py:187-192): params + opt_state (AdamW moments + the
+        plateau-adjusted LR living in inject_hyperparams) + step go to
+        orbax; the host-side schedule state (epoch, best-val, plateau and
+        early-stop counters) and every host PRNG (augment plan, data order,
+        event negative-sampling) go to the JSON sidecar — so a resumed run
+        replays the straight run exactly (tests/test_train_loop.py
+        resume-equivalence)."""
         path = os.path.abspath(os.path.join(self.out_dir, f"ckpt_{tag}"))
+        ev = self.event_extractor.rng.getstate()
         meta = {
             "model_conf": asdict(self.model_conf),
             "opt_conf": asdict(self.opt_conf),
-            "step": int(state.step),
+            "step": int(jax.device_get(state.step)),
+            "format": "trainstate_v2",
+            "trainer": {
+                "next_epoch": (epoch + 1) if epoch is not None else 0,
+                "best_val": best_val,
+                "plateau": {
+                    "best": self.plateau.best,
+                    "bad_epochs": self.plateau.bad_epochs,
+                },
+                "early_stop": {
+                    "best": self.early_stop.best,
+                    "bad_epochs": self.early_stop.bad_epochs,
+                },
+                "augment_rng": self.augment.np_rng.bit_generator.state,
+                "loader_rng": (
+                    train_loader.rng.bit_generator.state
+                    if train_loader is not None
+                    else None
+                ),
+                "events_rng": [ev[0], list(ev[1]), ev[2]],
+            },
         }
         with open(os.path.join(self.out_dir, f"ckpt_{tag}.json"), "w") as f:
             json.dump(meta, f)
-        save_checkpoint(path, {"params": state.params})
+        save_checkpoint(
+            path,
+            {"params": state.params, "opt_state": state.opt_state,
+             "step": state.step},
+        )
+
+    def _restore_full(self, state: TrainState, path: str, meta: Dict,
+                      train_loader) -> Tuple[TrainState, int, float]:
+        """Inverse of `save` for format=trainstate_v2 checkpoints."""
+        from voiceactivityprojection_tpu.models.checkpoint import (
+            restore_checkpoint,
+        )
+
+        restored = restore_checkpoint(
+            path,
+            {"params": state.params, "opt_state": state.opt_state,
+             "step": state.step},
+        )
+        state = TrainState(
+            restored["params"], restored["opt_state"], restored["step"]
+        )
+        tr = meta["trainer"]
+        self.plateau.best = tr["plateau"]["best"]
+        self.plateau.bad_epochs = tr["plateau"]["bad_epochs"]
+        self.early_stop.best = tr["early_stop"]["best"]
+        self.early_stop.bad_epochs = tr["early_stop"]["bad_epochs"]
+        if tr.get("augment_rng"):
+            self.augment.np_rng.bit_generator.state = tr["augment_rng"]
+        if tr.get("loader_rng") and train_loader is not None:
+            train_loader.rng.bit_generator.state = tr["loader_rng"]
+        if tr.get("events_rng"):
+            v, st, g = tr["events_rng"]
+            self.event_extractor.rng.setstate((v, tuple(st), g))
+        best_val = tr.get("best_val", float("inf"))
+        if best_val is None:
+            best_val = float("inf")
+        return state, int(tr["next_epoch"]), float(best_val)
