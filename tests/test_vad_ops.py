@@ -103,3 +103,47 @@ def test_add_zero_channel():
     out = add_zero_channel(w)
     assert out.shape == (3, 2, 100)
     assert out[:, 1].sum() == 0
+
+
+def test_get_activity_history_matches_naive_loop():
+    from voiceactivityprojection_tpu.ops.vad import get_activity_history
+
+    rng = np.random.default_rng(0)
+    T, bins = 137, (40, 15, 6)
+    vad = (rng.random((T, 2)) < 0.35).astype(np.float32)
+
+    def naive(vad, b):
+        k = len(b)
+        out = np.zeros((T, k + 1))
+        for t in range(T):
+            spans = [(0, t - b[0])]
+            spans += [(t - b[j - 1] + 1, t - b[j]) for j in range(1, k)]
+            spans += [(t - b[-1] + 1, t)]
+            for j, (s, e) in enumerate(spans):
+                s = max(s, 0)
+                if e < s:
+                    out[t, j] = 0.5
+                    continue
+                seg = vad[s : e + 1]
+                tot = seg.sum()
+                out[t, j] = seg[:, 0].sum() / tot if tot > 0 else 0.5
+        return out
+
+    got = get_activity_history(vad, bins)
+    assert got.shape == (T, len(bins) + 1)
+    np.testing.assert_allclose(got, naive(vad, bins), atol=1e-6)
+
+
+def test_get_activity_history_flip_complement():
+    """Swapping the speakers maps the ratio feature to 1 - h on active
+    windows and leaves the 0.5 no-activity default fixed."""
+    from voiceactivityprojection_tpu.ops.vad import get_activity_history
+
+    rng = np.random.default_rng(1)
+    vad = (rng.random((90, 2)) < 0.3).astype(np.float32)
+    bins = (30, 10)
+    h = get_activity_history(vad, bins)
+    hf = get_activity_history(vad[:, ::-1], bins)
+    active = ~np.isclose(h, 0.5) | ~np.isclose(hf, 0.5)
+    np.testing.assert_allclose(hf[active], 1.0 - h[active], atol=1e-6)
+    assert np.isfinite(h).all() and (h >= 0).all() and (h <= 1).all()

@@ -199,6 +199,12 @@ class DataConfig(ArgparseMixin):
     #   "resample" — host-side resample-and-crop (fast but shifts tempo,
     #              de-aligning VAD labels; kept for comparison).
     pitch_mode: str = "vocoder"
+    # mono model VAD-history conditioning (VapMonoConfig.va_history): the
+    # loader derives batch["vah"] — per-frame speaker-0 activity ratio over
+    # len(times)+1 trailing windows (ops/vad.py get_activity_history, the
+    # reference external DataModule's vad_history feature,
+    # vap/train_mono.py:156-163). len(times)+1 must equal va_history_bins.
+    va_history_times: Tuple[float, ...] = (60.0, 30.0, 10.0, 5.0)
     # per-sample probability of the waveform-augmentation branch (pitch /
     # noise / freq-mask, reference transforms.py:58-70 weights); 0 turns
     # waveform augmentation off entirely (channel flip is separate) —

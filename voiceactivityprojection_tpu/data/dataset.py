@@ -64,12 +64,22 @@ class SlidingWindowDataset:
         frame_hz: int = 50,
         overlap: float = 0.0,
         mono: bool = False,
+        va_history: bool = False,
+        va_history_times: tuple = (60.0, 30.0, 10.0, 5.0),
     ):
         self.audio_duration = audio_duration
         self.horizon = horizon
         self.sample_rate = sample_rate
         self.frame_hz = frame_hz
         self.mono = mono
+        # mono-model conditioning feature (reference vad_history, the
+        # external DataModule contract of vap/train_mono.py:156-163):
+        # speaker-0 activity ratio over trailing windows, computed from the
+        # SESSION-level vad so the 60 s history reaches beyond the window
+        self.va_history = va_history
+        self.va_history_frames = tuple(
+            int(round(t * frame_hz)) for t in va_history_times
+        )
         self.n_samples = int(audio_duration * sample_rate)
         self.n_frames = int((audio_duration + horizon) * frame_hz)
 
@@ -126,11 +136,37 @@ class SlidingWindowDataset:
             vad = np.pad(vad, [(0, self.n_frames - vad.shape[0]), (0, 0)])
         vad = vad[: self.n_frames]
 
-        return {
+        item = {
             "waveform": x.astype(np.float32),
             "vad": vad.astype(np.float32),
             "session": w["audio_path"],
         }
+        if self.va_history:
+            from voiceactivityprojection_tpu.ops.vad import get_activity_history
+
+            # extend the context back by the longest history window so the
+            # feature at the window's first frames sees the real past
+            reach = self.va_history_frames[0] / self.frame_hz
+            ext_start = max(0.0, w["start"] - reach)
+            ext = get_vad_list_subset(
+                vad_list, ext_start, w["end"] + self.horizon
+            )
+            ext_vad = vad_list_to_onehot(
+                ext,
+                duration=(w["end"] + self.horizon) - ext_start,
+                frame_hz=self.frame_hz,
+            )
+            hist = get_activity_history(ext_vad, self.va_history_frames)
+            off = int(round((w["start"] - ext_start) * self.frame_hz))
+            vah = hist[off : off + self.n_frames]
+            if vah.shape[0] < self.n_frames:  # ragged session tail
+                vah = np.pad(
+                    vah,
+                    [(0, self.n_frames - vah.shape[0]), (0, 0)],
+                    constant_values=0.5,
+                )
+            item["vah"] = vah.astype(np.float32)
+        return item
 
 
 class VapDataLoader:
@@ -169,10 +205,13 @@ class VapDataLoader:
             # audio decode + polyphase resample release the GIL in the
             # native library, so threads give real wall-clock speedup
             items = list(pool.map(lambda j: self.dataset[int(j)], idxs))
-            return {
+            batch = {
                 "waveform": np.stack([it["waveform"] for it in items]),
                 "vad": np.stack([it["vad"] for it in items]),
             }
+            if "vah" in items[0]:
+                batch["vah"] = np.stack([it["vah"] for it in items])
+            return batch
 
         with ThreadPoolExecutor(max_workers=max(self.num_workers, 1)) as pool:
             for i in range(0, len(order), self.batch_size):

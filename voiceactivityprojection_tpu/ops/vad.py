@@ -150,6 +150,55 @@ def vad_list_to_onehot(
     return vad
 
 
+def get_activity_history(
+    vad: np.ndarray, bin_end_frames: Tuple[int, ...]
+) -> np.ndarray:
+    """VAD-history conditioning feature for the mono model
+    (vap/model.py:354-359 consumes it; the reference's EXTERNAL DataModule
+    produces it — vap/train_mono.py:156-163 batch contract, key
+    ``vad_history`` in vap/phrases/evaluation_phrases.py:339-349).
+
+    For each frame t, the ratio of SPEAKER 0's voice activity inside
+    ``len(bin_end_frames) + 1`` trailing windows delimited by the (strictly
+    decreasing) boundary offsets ``bin_end_frames`` (in frames before t):
+
+      window 0                : [0, t - b0]            (all older context)
+      window j (0 < j < k)    : (t - b_{j-1}, t - b_j]
+      window k                : (t - b_{k-1}, t]       (most recent)
+
+    Windows with zero total activity get the uninformative ratio 0.5.
+    With the default 50 Hz times (60, 30, 10, 5) s this is the 5-bin
+    feature matching VapMonoConfig.va_history_bins = 5. Flipping the
+    speakers maps the feature to 1 - h on active windows (tested).
+
+    vad: (T, 2) one-hot -> (T, k + 1) float32.
+    """
+    vad = np.asarray(vad, dtype=np.float64)
+    assert vad.ndim == 2 and vad.shape[1] == 2, f"expected (T, 2), got {vad.shape}"
+    b = [int(x) for x in bin_end_frames]
+    assert all(x > 0 for x in b) and all(
+        a > c for a, c in zip(b, b[1:])
+    ), f"bin_end_frames must be positive strictly decreasing, got {b}"
+    T = vad.shape[0]
+    cs = np.cumsum(vad, axis=0)  # inclusive prefix sums per speaker
+
+    def shifted(offset: int) -> np.ndarray:
+        """cs[t - offset] with cs[<0] = 0."""
+        if offset <= 0:
+            return cs
+        out = np.zeros_like(cs)
+        if offset < T:
+            out[offset:] = cs[:-offset]
+        return out
+
+    edges = [shifted(x) for x in b] + [cs]  # window right edges, oldest->now
+    sums = [edges[0]] + [r - l for l, r in zip(edges[:-1], edges[1:])]
+    acts = np.stack(sums, axis=1)  # (T, k+1, 2)
+    total = acts.sum(-1)
+    ratio = np.where(total > 0, acts[..., 0] / np.maximum(total, 1e-9), 0.5)
+    return ratio.astype(np.float32)
+
+
 def vad_onehot_to_vad_list(
     vad: np.ndarray, frame_hz: int = 50, ipu_thresh_time: float = 0.1
 ) -> List[VadList]:

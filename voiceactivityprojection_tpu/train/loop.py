@@ -198,6 +198,18 @@ class Trainer:
     # ------------------------------------------------------------------
     def make_loaders(self):
         dc = self.data_conf
+        # mono-model VAD-history conditioning (vah): derived by the loader
+        # from the session vad (the reference external DataModule's
+        # vad_history feature, vap/train_mono.py:156-163)
+        va_history = self.mono and bool(
+            getattr(self.model_conf, "va_history", False)
+        )
+        if va_history:
+            bins = int(getattr(self.model_conf, "va_history_bins", 5))
+            assert len(dc.va_history_times) + 1 == bins, (
+                f"va_history_bins={bins} requires "
+                f"{bins - 1} va_history_times, got {dc.va_history_times}"
+            )
         mk = lambda path, shuffle: VapDataLoader(
             SlidingWindowDataset(
                 path,
@@ -206,6 +218,8 @@ class Trainer:
                 sample_rate=dc.sample_rate,
                 frame_hz=dc.frame_hz,
                 mono=self.mono,
+                va_history=va_history,
+                va_history_times=dc.va_history_times,
             ),
             batch_size=dc.batch_size,
             shuffle=shuffle,

@@ -181,11 +181,16 @@ def loss_fn_mono(
     rng: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
     """Mono multitask loss (reference train_mono.py shared_step: VAP CE only,
-    VAD is an input condition, not a target)."""
+    VAD is an input condition, not a target). When the loader supplies the
+    vad-history feature (batch["vah"], the reference external DataModule's
+    vad_history, vap/train_mono.py:156-163) it conditions the forward."""
     from voiceactivityprojection_tpu.models.vap import forward_mono
 
     labels = get_labels(batch["vad"], conf.bin_frames)
-    out = forward_mono(params, batch["waveform"], batch["vad"], conf, rng=rng)
+    out = forward_mono(
+        params, batch["waveform"], batch["vad"], conf,
+        va_history=batch.get("vah"), rng=rng,
+    )
     lvap = loss_vap(out["logits"], labels)
     return lvap, {"vap_loss": lvap, "vad_loss": jnp.zeros(())}
 
@@ -228,7 +233,10 @@ def make_eval_step_mono(conf):
     @jax.jit
     def eval_step(params: Params, batch: Dict[str, jax.Array]):
         labels = get_labels(batch["vad"], conf.bin_frames)
-        out = forward_mono(params, batch["waveform"], batch["vad"], conf)
+        out = forward_mono(
+            params, batch["waveform"], batch["vad"], conf,
+            va_history=batch.get("vah"),
+        )
         lvap = loss_vap(out["logits"], labels)
         return {
             "vap_loss": lvap,
