@@ -36,6 +36,8 @@ def _load_last_good() -> dict | None:
 
 def _save_last_good(record: dict) -> None:
     try:
+        if jax.devices()[0].platform == "cpu":
+            return  # a CPU smoke run must not clobber the on-chip record
         record = dict(record)
         record["timestamp"] = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
         with open(_LAST_GOOD_PATH, "w") as f:
@@ -94,11 +96,15 @@ def _probe_device() -> None:
               file=sys.stderr, flush=True)
 
 
-def bench_train(batch: int = 16) -> None:
-    """`bench.py --train [batch]`: fused augmented train-step throughput +
-    train MFU (BASELINE.md workload #4; forward-only MFU says nothing
-    about the backward's headroom). Mirrors the Trainer's production step:
-    make_train_step_augmented with flip+noise, frozen encoder, bf16."""
+def bench_train(batch: int = 16, probe: bool = True) -> dict:
+    """Fused augmented train-step throughput + train MFU (BASELINE.md
+    workload #4; forward-only MFU says nothing about the backward's
+    headroom). Mirrors the Trainer's production step:
+    make_train_step_augmented with flip+noise, frozen encoder, bf16.
+
+    Runs as part of the DEFAULT bench (merged into the single JSON line,
+    VERDICT r3 item 4) and standalone via `bench.py --train [batch]`.
+    Returns the record; the caller prints."""
     import jax.random as jrandom
 
     from voiceactivityprojection_tpu.config import OptConfig, VapConfig
@@ -113,7 +119,8 @@ def bench_train(batch: int = 16) -> None:
         stereo_train_flops,
     )
 
-    _probe_device()
+    if probe:
+        _probe_device()
 
     chunk_s, sr = 20.0, 16_000
     n = int(chunk_s * sr)
@@ -165,21 +172,17 @@ def bench_train(batch: int = 16) -> None:
     )
     achieved = stages["total"] * batch * iters / elapsed / 1e12
     peak = device_peak_tflops()
-    print(
-        json.dumps(
-            {
-                "metric": "train_audio_seconds_per_second",
-                "value": round(batch * chunk_s * iters / elapsed, 2),
-                "unit": "audio_s/s",
-                "vs_baseline": round(batch * chunk_s * iters / elapsed / 100.0, 3),
-                "ms_per_step": round(elapsed / iters * 1e3, 2),
-                "gflops_per_step_chunk": round(stages["total"] / 1e9, 2),
-                "achieved_tflops": round(achieved, 2),
-                "peak_bf16_tflops": peak,
-                "train_mfu": round(achieved / peak, 4) if peak else None,
-            }
-        )
-    )
+    record = {
+        "metric": "train_audio_seconds_per_second",
+        "value": round(batch * chunk_s * iters / elapsed, 2),
+        "unit": "audio_s/s",
+        "vs_baseline": round(batch * chunk_s * iters / elapsed / 100.0, 3),
+        "ms_per_step": round(elapsed / iters * 1e3, 2),
+        "gflops_per_step_chunk": round(stages["total"] / 1e9, 2),
+        "achieved_tflops": round(achieved, 2),
+        "peak_bf16_tflops": peak,
+        "train_mfu": round(achieved / peak, 4) if peak else None,
+    }
     print(
         f"# train batch={batch} iters={iters} elapsed={elapsed:.3f}s "
         f"compile={compile_s:.1f}s "
@@ -187,6 +190,7 @@ def bench_train(batch: int = 16) -> None:
         f"{stages['backward']/1e9:.1f}/{stages['flash_recompute']/1e9:.1f}",
         file=sys.stderr,
     )
+    return record
 
 
 def main() -> None:
@@ -195,7 +199,7 @@ def main() -> None:
 
     args = [a for a in sys.argv[1:] if a != "--train"]
     if "--train" in sys.argv[1:]:
-        bench_train(int(args[0]) if args else 16)
+        print(json.dumps(bench_train(int(args[0]) if args else 16)))
         return
 
     _probe_device()
@@ -275,6 +279,29 @@ def main() -> None:
         "peak_bf16_tflops": peak,
         "mfu": round(mfu, 4) if mfu is not None else None,
     }
+
+    # the official bench line also carries the TRAIN workload (BASELINE
+    # workload #4; VERDICT r3 item 4): merged into the SAME JSON object so
+    # the driver's `parsed` block stays a backward-compatible superset
+    # (inference fields unchanged and first). A train-bench failure must
+    # not cost the round its inference number, hence the broad guard.
+    import os
+
+    if os.environ.get("VAP_BENCH_SKIP_TRAIN") != "1":
+        try:
+            tr = bench_train(16, probe=False)
+            record.update(
+                {
+                    "train_audio_s_per_s": tr["value"],
+                    "train_ms_per_step": tr["ms_per_step"],
+                    "train_gflops_per_step_chunk": tr["gflops_per_step_chunk"],
+                    "train_achieved_tflops": tr["achieved_tflops"],
+                    "train_mfu": tr["train_mfu"],
+                }
+            )
+        except Exception as e:  # noqa: BLE001 — keep the inference number
+            record["train_error"] = repr(e)
+
     print(json.dumps(record))
     _save_last_good(record)
     breakdown = " ".join(

@@ -92,12 +92,18 @@ def main() -> None:
 
         thresholds = read_json(args.thresholds)
         print(f"Applying transferred thresholds: {thresholds}")
+    from voiceactivityprojection_tpu.data.phrases import make_phrase_probe
+
+    probe = make_phrase_probe(data_conf)
+    if probe is not None:
+        print(f"Phrase probe: {len(probe.dset)} samples")
     result = evaluate(
         model, loader, event_conf,
         out_dir=args.out_dir,
         limit_batches=args.limit_batches or None,
         threshold_search=not args.no_threshold_search,
         thresholds=thresholds,
+        phrase_probe=probe,
     )
     for k, v in result.items():
         print(f"{k}: {v}")

@@ -43,7 +43,7 @@ def corpus(tmp_path_factory):
 
 def test_train_cli(corpus, tmp_path):
     _run([
-        "train.py",
+        "train.py", "--data_phrases_probe", "0",
         "--data_train_path", str(corpus / "train.csv"),
         "--data_val_path", str(corpus / "val.csv"),
         "--max_epochs", "1", "--limit_batches", "1",
@@ -57,6 +57,7 @@ def test_evaluate_cli(corpus, tmp_path):
     _run([
         "evaluate.py", "--data_test_path", str(corpus / "val.csv"),
         "--data_batch_size", "2", "--limit_batches", "1",
+        "--data_phrases_probe", "0",
         "--out_dir", str(out), "--allow_random_init",
     ] + SMALL)
     assert (out / "metrics.csv").exists()

@@ -135,3 +135,58 @@ def test_directionality_paired_stats(tmp_path):
     # absent effect: mean at the noise scale, sign test not significant
     assert abs(d_null.mean()) < 0.005
     assert pdir.sign_test_p(d_null) > 0.05
+
+
+def test_make_phrase_probe_gating(tmp_path):
+    """phrases_probe: 0 off, -1 auto (None when corpus missing), 1 required
+    (raises when missing); auto+corpus returns a limited probe."""
+    from dataclasses import replace
+
+    from voiceactivityprojection_tpu.config import DataConfig
+    from voiceactivityprojection_tpu.data.phrases import make_phrase_probe
+
+    off = DataConfig(phrases_probe=0)
+    assert make_phrase_probe(off) is None
+
+    missing = DataConfig(phrases_probe=-1, phrases_root=str(tmp_path))
+    assert make_phrase_probe(missing) is None
+
+    required = DataConfig(phrases_probe=1, phrases_root=str(tmp_path))
+    with pytest.raises(FileNotFoundError):
+        make_phrase_probe(required)
+
+    if os.path.exists(CSV):
+        auto = DataConfig(phrases_probe=-1, phrases_probe_limit=4)
+        probe = make_phrase_probe(auto)
+        assert probe is not None and len(probe.dset) == 4
+        lengths = set(probe.dset.df["long_short"])
+        assert lengths == {"short", "long"}
+
+
+@needs_corpus
+def test_evaluate_merges_phrase_probe(tmp_path):
+    """evaluate(phrase_probe=...) merges test_-prefixed region means into
+    the metrics CSV (reference vap/evaluation.py:298 +
+    vap/phrases/dataset.py:268-273)."""
+    import csv as _csv
+
+    import numpy as np
+
+    from voiceactivityprojection_tpu.config import DataConfig, EventConfig
+    from voiceactivityprojection_tpu.data.phrases import make_phrase_probe
+    from voiceactivityprojection_tpu.train.evaluation import evaluate
+
+    conf = VapConfig(dim=16, encoder_dim=16, channel_layers=1, cross_layers=1)
+    model = VapModel.init(jax.random.key(0), conf)
+    probe = make_phrase_probe(DataConfig(phrases_probe=1, phrases_probe_limit=4))
+    result = evaluate(
+        model, [], EventConfig(), out_dir=str(tmp_path),
+        threshold_search=False, phrase_probe=probe,
+    )
+    assert "test_short_future_pred" in result
+    assert "test_long_scp_now_react" in result
+    with open(os.path.join(str(tmp_path), "metrics.csv")) as f:
+        rows = list(_csv.reader(f))
+    assert "test_short_future_pred" in rows[0]
+    vals = dict(zip(rows[0], rows[1]))
+    assert 0.0 <= float(vals["test_short_future_pred"]) <= 1.0

@@ -205,6 +205,12 @@ class DataConfig(ArgparseMixin):
     # reference external DataModule's vad_history feature,
     # vap/train_mono.py:156-163). len(times)+1 must equal va_history_bins.
     va_history_times: Tuple[float, ...] = (60.0, 30.0, 10.0, 5.0)
+    # phrase-probe callback (reference PhrasesCallback runs at every
+    # val/test epoch, vap/train.py:202 / vap/evaluation.py:298): -1 auto
+    # (on when the corpus csv exists under phrases_root), 0 off, 1 required
+    phrases_probe: int = -1
+    phrases_root: str = "/root/reference"
+    phrases_probe_limit: int = 0  # 0 = full 360-sample corpus
     # per-sample probability of the waveform-augmentation branch (pitch /
     # noise / freq-mask, reference transforms.py:58-70 weights); 0 turns
     # waveform augmentation off entirely (channel flip is separate) —

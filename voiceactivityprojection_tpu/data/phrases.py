@@ -70,9 +70,18 @@ class PhraseDataset:
         silence: float = 2.0,
         vad_hz: int = 50,
         vad_horizon: float = 2.0,
+        limit: int = 0,
     ):
         self.root = root
         self.df = load_phrase_dataframe(csv_path or os.path.join(root, PHRASE_CSV))
+        if limit:
+            # debug/fast-probe cap: a BALANCED subset (both lengths, so the
+            # val_ps_*/val_pl_*/val_pls_* scalar families all stay defined)
+            import pandas as pd
+
+            short = self.df[self.df["long_short"] == "short"].iloc[: (limit + 1) // 2]
+            long_ = self.df[self.df["long_short"] == "long"].iloc[: limit // 2]
+            self.df = pd.concat([short, long_]).reset_index(drop=True)
         self.sample_rate = sample_rate
         self.audio_mono = audio_mono
         self.silence = silence
@@ -174,8 +183,11 @@ class PhraseProbe:
         silence: float = 2.0,
         batch_size: int = 10,
         mono: bool = False,
+        limit: int = 0,
     ):
-        self.dset = PhraseDataset(root=root, audio_mono=mono, silence=silence)
+        self.dset = PhraseDataset(
+            root=root, audio_mono=mono, silence=silence, limit=limit
+        )
         self.region_frames = time_to_frames(region_time, self.dset.vad_hop_time)
         self.batch_size = batch_size
 
@@ -232,3 +244,28 @@ class PhraseProbe:
             "val_pls_pred": means["long_scp_future_pred"],
             "val_pls_react": means["long_scp_now_react"],
         }
+
+
+def make_phrase_probe(data_conf, mono: bool = False) -> Optional[PhraseProbe]:
+    """DataConfig-gated probe construction, shared by the Trainer (every
+    val epoch) and evaluate.py (test epoch) — the reference registers
+    PhrasesCallback unconditionally (vap/train.py:202,
+    vap/evaluation.py:298); here `data_conf.phrases_probe` is -1 auto
+    (run when the corpus csv exists — the default), 0 off, 1 required
+    (missing corpus errors instead of silently skipping)."""
+    mode = int(getattr(data_conf, "phrases_probe", -1))
+    if mode == 0:
+        return None
+    root = getattr(data_conf, "phrases_root", DEFAULT_PHRASES_ROOT)
+    csv_path = os.path.join(root, PHRASE_CSV)
+    if not os.path.isfile(csv_path):
+        if mode == 1:
+            raise FileNotFoundError(
+                f"--data_phrases_probe 1 but no phrase corpus at {csv_path}"
+            )
+        return None
+    return PhraseProbe(
+        root=root,
+        mono=mono,
+        limit=int(getattr(data_conf, "phrases_probe_limit", 0)),
+    )

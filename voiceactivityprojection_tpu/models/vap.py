@@ -462,6 +462,9 @@ class VapModel:
         )
 
 
+_forward_mono_jit = partial(jax.jit, static_argnames=("conf",))(forward_mono)
+
+
 @partial(jax.jit, static_argnames=("conf",))
 def _mono_probs_jit(params, waveform, va, conf):
     out = forward_mono(params, waveform, va, conf)
@@ -488,8 +491,11 @@ class VapMonoModel:
         return cls(conf, init_vap_mono(key, conf))
 
     def forward(self, waveform, va, va_history=None) -> Dict[str, jax.Array]:
-        return forward_mono(
-            self.params, jnp.asarray(waveform), jnp.asarray(va), self.conf, va_history
+        if va_history is not None:
+            va_history = jnp.asarray(va_history)
+        return _forward_mono_jit(
+            self.params, jnp.asarray(waveform), jnp.asarray(va), self.conf,
+            va_history,
         )
 
     __call__ = forward

@@ -182,10 +182,16 @@ def evaluate(
     limit_batches: Optional[int] = None,
     threshold_search: bool = True,
     thresholds: Optional[Dict[str, float]] = None,
+    phrase_probe=None,
 ) -> Dict[str, float]:
     """Full test-split evaluation (contract of evaluation.py:245-322).
     Pass `thresholds` (e.g. json-loaded thresholds.json from a previous
-    threshold-search run on the val split) to APPLY them at test time."""
+    threshold-search run on the val split) to APPLY them at test time.
+    `phrase_probe` (a data.phrases.PhraseProbe) additionally runs the
+    phrase corpus through the model and merges every region-mean scalar
+    into the metrics CSV with a test_ prefix — the reference registers
+    PhrasesCallback in its evaluation Trainer (vap/evaluation.py:298,
+    test logging at vap/phrases/dataset.py:268-273)."""
     from voiceactivityprojection_tpu.train.step import make_eval_step
 
     eval_step = make_eval_step(model.conf)
@@ -202,5 +208,8 @@ def evaluate(
             float(out["vad_loss"]),
         )
     result = collector.compute(threshold_search)
+    if phrase_probe is not None:
+        means, _ = phrase_probe.extract_stats(model)
+        result.update({f"test_{k}": float(v) for k, v in means.items()})
     collector.save(out_dir, result)
     return result

@@ -194,6 +194,21 @@ class Trainer:
             patience=self.opt_conf.lr_scheduler_patience,
         )
         self.early_stop = EarlyStopping(patience=self.opt_conf.patience)
+        self._phrase_probe = "unset"  # built lazily at first validate()
+
+    def phrase_probe(self):
+        """Phrase-probe callback instance or None (reference PhrasesCallback
+        at every val epoch, vap/train.py:202); see
+        data/phrases.make_phrase_probe for the gating."""
+        if self._phrase_probe == "unset":
+            from voiceactivityprojection_tpu.data.phrases import (
+                make_phrase_probe,
+            )
+
+            self._phrase_probe = make_phrase_probe(
+                self.data_conf, mono=self.mono
+            )
+        return self._phrase_probe
 
     # ------------------------------------------------------------------
     def make_loaders(self):
@@ -562,6 +577,29 @@ class Trainer:
             f"{split}_loss_va": float(np.mean(vad_losses)) if vad_losses else float("nan"),
         }
         rec.update({f"{split}_{k}": v for k, v in em.compute().items()})
+
+        probe = self.phrase_probe()
+        if probe is not None:
+            from voiceactivityprojection_tpu.models.vap import (
+                VapModel,
+                VapMonoModel,
+            )
+
+            mdl = (
+                VapMonoModel(self.model_conf, params)
+                if self.mono
+                else VapModel(self.model_conf, params)
+            )
+            means, _ = probe.extract_stats(mdl)
+            if split == "val":
+                # the scalar subset the reference logs at val epochs
+                # (vap/phrases/dataset.py:252-266)
+                rec.update(probe.val_log_stats(means))
+            else:
+                # test logs everything (dataset.py:268-273)
+                rec.update(
+                    {f"{split}_{k}": float(v) for k, v in means.items()}
+                )
         return rec
 
     # ------------------------------------------------------------------
