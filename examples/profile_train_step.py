@@ -8,9 +8,23 @@ this script splits it so optimization effort lands on the real stall:
   step       — the full fused augmented train step (grad + optimizer)
   aug        — augment_on_device alone (noise branch)
 
+--deep adds the level-2 split of the backward (VERDICT r3 item 1):
+
+  enc_fwd    — frozen encoder forward alone (conv+GRU fused, XLA
+               downsample; no backward exists for this stage)
+  labels     — projection-window label computation alone
+  tf_fwd     — transformer section (ar_channel x2 + stereo stack + heads
+               + losses) from precomputed (x1, x2) features
+  tf_grad    — value_and_grad of the transformer section; tf_bwd =
+               tf_grad - tf_fwd is the real transformer backward
+  attn_site  — ONE flash-train attention site (B, 4, 1000, 64) fwd and
+               fwd+bwd; the full model runs 14 sites/step
+  opt        — optimizer update alone (AdamW masked multi-transform,
+               real grads pytree)
+
 Every timing is chained-dispatch with a single host fetch (tunnel-safe).
 
-Usage: python examples/profile_train_step.py [batch]
+Usage: python examples/profile_train_step.py [batch] [--deep]
 """
 
 import os
@@ -60,7 +74,8 @@ def timed(name, fn, iters=20, warmup=8):
 
 
 def main():
-    B = int(sys.argv[1]) if len(sys.argv) > 1 else 16
+    pos = [a for a in sys.argv[1:] if not a.startswith("-")]
+    B = int(pos[0]) if pos else 16
     sr, chunk_s = 16_000, 20.0
     n = int(chunk_s * sr)
     conf = VapConfig(dtype="bfloat16")
@@ -117,6 +132,181 @@ def main():
         f"{t_grad - t_fwd:.2f} ms; optimizer+augment+dispatch overhead = "
         f"step - grad - aug = {t_step - t_grad - t_aug:.2f} ms"
     )
+
+    if "--deep" in sys.argv:
+        deep(B, conf, params, tx, state, batch, key,
+             t_step=t_step, t_aug=t_aug, t_fwd=t_fwd, t_grad=t_grad)
+
+
+def deep(B, conf, params, tx, state, batch, key, *, t_step, t_aug, t_fwd,
+         t_grad):
+    """Level-2 backward decomposition (see module docstring)."""
+    import math
+
+    from voiceactivityprojection_tpu.models.encoder import apply_encoder
+    from voiceactivityprojection_tpu.models.transformer import (
+        apply_gpt,
+        apply_gpt_stereo,
+    )
+    from voiceactivityprojection_tpu.models.vap import _compute_cast
+    from voiceactivityprojection_tpu.ops.codebook import get_labels
+    from voiceactivityprojection_tpu.ops.losses import loss_vad, loss_vap
+    from voiceactivityprojection_tpu.utils.flops import (
+        device_peak_tflops,
+        stereo_forward_flops,
+    )
+
+    print("\n# ---- deep (level-2) decomposition ----")
+
+    # ---- encoder forward alone (frozen: conv+GRU fused on TPU, no bwd)
+    @jax.jit
+    def enc_fwd(p, wf):
+        p, wf = _compute_cast(p, wf, conf)
+        Bb = wf.shape[0]
+        both = wf.reshape(Bb * 2, wf.shape[-1])
+        z = apply_encoder(
+            p["encoder"], both, fused_auto=True, fuse_downsample=False
+        )
+        z = z.reshape(Bb, 2, *z.shape[1:])
+        return z[:, 0], z[:, 1]
+
+    t_enc = timed("enc_fwd (frozen, no bwd)", lambda: enc_fwd(params, batch["waveform"]))
+
+    # ---- label computation alone
+    lab = jax.jit(lambda v: get_labels(v, conf.bin_frames))
+    t_lab = timed("labels (projection windows)", lambda: lab(batch["vad"]))
+
+    # ---- transformer section from precomputed features
+    x1, x2 = enc_fwd(params, batch["waveform"])
+    x1 = jax.block_until_ready(x1)
+    tf_params = {
+        "ar_channel": params["ar_channel"],
+        "ar": params["ar"],
+        "va_classifier": params["va_classifier"],
+        "vap_head": params["vap_head"],
+    }
+    if conf.dtype == "bfloat16":
+        cast = lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x
+        tf_params = jax.tree.map(cast, tf_params)
+
+    def tf_loss(tp, x1, x2, vad, k):
+        drop = conf.dropout
+        r = jax.random.split(k, 3)
+        o1 = apply_gpt(tp["ar_channel"], x1, num_heads=conf.num_heads,
+                       dropout=drop, rng=r[0], attn_impl=conf.attn_impl)
+        o2 = apply_gpt(tp["ar_channel"], x2, num_heads=conf.num_heads,
+                       dropout=drop, rng=r[1], attn_impl=conf.attn_impl)
+        out = apply_gpt_stereo(tp["ar"], o1["x"], o2["x"],
+                               num_heads=conf.num_heads, dropout=drop,
+                               rng=r[2], attn_impl=conf.attn_impl)
+        v1 = out["x1"] @ tp["va_classifier"]["w"].T + tp["va_classifier"]["b"]
+        v2 = out["x2"] @ tp["va_classifier"]["w"].T + tp["va_classifier"]["b"]
+        vlog = jnp.concatenate([v1, v2], axis=-1)
+        logits = out["x"] @ tp["vap_head"]["w"].T + tp["vap_head"]["b"]
+        logits = logits.astype(jnp.float32)
+        vlog = vlog.astype(jnp.float32)
+        return (loss_vap(logits, get_labels(vad, conf.bin_frames))
+                + loss_vad(vlog, vad))
+
+    tf_fwd = jax.jit(tf_loss)
+    tf_grad = jax.jit(
+        lambda tp, a, b, v, k: jax.value_and_grad(tf_loss)(tp, a, b, v, k)
+    )
+    t_tf_fwd = timed("tf_fwd (transformer+heads+loss)",
+                     lambda: tf_fwd(tf_params, x1, x2, batch["vad"], key))
+    t_tf_grad = timed("tf_grad (fwd+bwd)",
+                      lambda: tf_grad(tf_params, x1, x2, batch["vad"], key))
+
+    # ---- one flash-train attention site
+    from voiceactivityprojection_tpu.ops.flash_alibi_train import (
+        flash_alibi_attention_train,
+    )
+    from voiceactivityprojection_tpu.ops.attention import alibi_slopes
+
+    H, T, D = conf.num_heads, x1.shape[1], conf.dim // conf.num_heads
+    rngq = np.random.default_rng(1)
+    mk = lambda: jnp.asarray(
+        rngq.normal(size=(B, H, T, D)).astype(np.float32) * 0.05,
+        dtype=jnp.bfloat16 if conf.dtype == "bfloat16" else jnp.float32,
+    )
+    q, k_, v_ = mk(), mk(), mk()
+    slopes = jnp.asarray(alibi_slopes(H), jnp.float32).reshape(-1)
+    scale = 1.0 / math.sqrt(conf.dim)  # full-dim quirk (modules.py:52)
+
+    if jax.default_backend() == "cpu":
+        print("attn site: skipped on CPU (interpret-mode Pallas)")
+        t_site_f = t_site_g = float("nan")
+    else:
+        site_fwd = jax.jit(
+            lambda a, b, c: flash_alibi_attention_train(
+                a, b, c, slopes, jnp.int32(7), scale, conf.dropout
+            ).sum()
+        )
+        site_grad = jax.jit(
+            lambda a, b, c: jax.grad(
+                lambda aa, bb, cc: flash_alibi_attention_train(
+                    aa, bb, cc, slopes, jnp.int32(7), scale, conf.dropout
+                ).sum().astype(jnp.float32),
+                argnums=(0, 1, 2),
+            )(a, b, c)
+        )
+        t_site_f = timed("attn site fwd (B,4,T,64)", lambda: site_fwd(q, k_, v_))
+        t_site_g = timed("attn site fwd+bwd", lambda: site_grad(q, k_, v_))
+
+    # ---- optimizer update alone (real grads)
+    _, grads = tf_grad(tf_params, x1, x2, batch["vad"], key)
+    full_grads = jax.tree.map(jnp.zeros_like, params)
+    for kk in tf_params:
+        full_grads[kk] = jax.tree.map(
+            lambda g: g.astype(jnp.float32), grads[kk]
+        )
+    full_grads = jax.block_until_ready(full_grads)
+
+    @jax.jit
+    def opt_step(g, opt_state, p):
+        import optax
+
+        updates, new_os = tx.update(g, opt_state, p)
+        return optax.apply_updates(p, updates), new_os
+
+    holder = {"os": state.opt_state, "p": params}
+
+    def run_opt():
+        holder["p"], holder["os"] = opt_step(full_grads, holder["os"], holder["p"])
+        return holder["p"]["vap_head"]["b"]
+
+    t_opt = timed("optimizer (AdamW update)", run_opt)
+
+    # ---- summary
+    n_sites = 2 * conf.channel_layers + 2 * cross_sites(conf)
+    t_tf_bwd = t_tf_grad - t_tf_fwd
+    resid = t_step - t_aug - t_enc - t_tf_grad - t_opt
+    peak = device_peak_tflops() or float("nan")
+    st = stereo_forward_flops(batch["waveform"].shape[-1], conf.dim,
+                              conf.channel_layers, conf.cross_layers)
+    tf_fwd_fl = (st["ar_channel"] + st["ar_stereo"] + st["combinator_heads"]) * B
+    print(f"\n# deep summary (B={B}):")
+    print(f"#   enc_fwd {t_enc:.2f} ms  "
+          f"({st['conv_stack'] + st['gru'] + st['downsample']:.2e} F/chunk, "
+          f"{(st['conv_stack'] + st['gru'] + st['downsample']) * B / (t_enc * 1e-3) / 1e12:.1f} TF/s"
+          f" = {(st['conv_stack'] + st['gru'] + st['downsample']) * B / (t_enc * 1e-3) / 1e12 / peak * 100:.0f}% peak)")
+    print(f"#   tf_fwd {t_tf_fwd:.2f} ms ({tf_fwd_fl / (t_tf_fwd * 1e-3) / 1e12:.1f} TF/s = "
+          f"{tf_fwd_fl / (t_tf_fwd * 1e-3) / 1e12 / peak * 100:.0f}% peak), "
+          f"tf_bwd {t_tf_bwd:.2f} ms (~2x fwd FLOPs -> "
+          f"{2 * tf_fwd_fl / (t_tf_bwd * 1e-3) / 1e12:.1f} TF/s = "
+          f"{2 * tf_fwd_fl / (t_tf_bwd * 1e-3) / 1e12 / peak * 100:.0f}% peak)")
+    print(f"#   attn: {n_sites} sites x (fwd {t_site_f:.2f} / bwd "
+          f"{t_site_g - t_site_f:.2f} ms) = {n_sites * t_site_f:.1f} fwd / "
+          f"{n_sites * (t_site_g - t_site_f):.1f} bwd ms if serial")
+    print(f"#   labels {t_lab:.2f}  opt {t_opt:.2f}  aug {t_aug:.2f} ms")
+    print(f"#   step {t_step:.2f} = aug {t_aug:.2f} + enc {t_enc:.2f} + "
+          f"tf_grad {t_tf_grad:.2f} + opt {t_opt:.2f} + residual "
+          f"{resid:.2f} ms (residual = downsample bwd + dispatch/fusion "
+          f"differences between the pieces and the fused step)")
+
+
+def cross_sites(conf):
+    return 2 * conf.cross_layers  # self+cross per channel per stereo layer
 
 
 if __name__ == "__main__":
