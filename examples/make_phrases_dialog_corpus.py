@@ -73,7 +73,22 @@ def load_wav_mono(path: str) -> np.ndarray:
 
 
 def make_session(rng, duration, by_voice, voices, target_rms=0.05,
-                 p_shift=0.55, p_overlap=0.12):
+                 p_shift=0.55, p_overlap=0.25, noise_rms=0.003):
+    """ROUND-4 timing model (VERDICT r3 item 6): the round-3 corpus was
+    silence-deterministic — shifts only ever happened after a clean gap,
+    so mid-speech p_now collapsed to ~0 and predictive-region prosody
+    contrasts had no dynamic range. Now:
+
+      * 25% of shifts are IMMEDIATE FOLLOW-ONS: the next speaker starts
+        up to 0.5 s BEFORE the current phrase ends, so the model must
+        assign real next-speaker probability mass while speech is still
+        ongoing (= exactly the predictive region the SIGDIAL analysis
+        probes, evaluation_phrases.py:228-253);
+      * gapped shifts draw 0.05-1.5 s and holds 0.2-1.2 s — the ranges
+        OVERLAP, so pause length alone cannot separate shift from hold
+        and turn-final prosody carries the signal;
+      * mild Gaussian channel noise (-25 dB vs speech) so silence is not
+        digitally zero."""
     n = int(duration * SR)
     wav = np.zeros((2, n), dtype=np.float32)
     vl = [[], []]
@@ -96,13 +111,18 @@ def make_session(rng, duration, by_voice, voices, target_rms=0.05,
             vl[ch].append([round(t + a, 3), round(t + b, 3)])
         end = s1 / SR
         if rng.random() < p_shift:  # turn shift: other speaker next
-            gap = float(rng.uniform(0.15, 0.7))
             if rng.random() < p_overlap:
-                gap = -float(rng.uniform(0.05, 0.25))  # overlapped shift
+                # immediate follow-on: next speaker starts while this
+                # phrase is still running
+                gap = -float(rng.uniform(0.02, 0.5))
+            else:
+                gap = float(rng.uniform(0.05, 1.5))
             ch = 1 - ch
         else:  # hold: same speaker continues after an intra-turn pause
-            gap = float(rng.uniform(0.35, 1.1))
+            gap = float(rng.uniform(0.2, 1.2))
         t = end + gap
+    if noise_rms:
+        wav += rng.normal(0.0, noise_rms, wav.shape).astype(np.float32)
     for c in range(2):
         vl[c].sort()
     return wav, vl
@@ -125,6 +145,12 @@ def main():
     ap.add_argument("--n_val", type=int, default=24)
     ap.add_argument("--duration", type=float, default=24.0)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--p_shift", type=float, default=0.55)
+    ap.add_argument("--p_overlap", type=float, default=0.25,
+                    help="fraction of shifts that are immediate follow-ons "
+                         "(next speaker starts before the phrase ends)")
+    ap.add_argument("--noise_rms", type=float, default=0.003,
+                    help="Gaussian channel-noise RMS (0 = r3 silence-exact)")
     args = ap.parse_args()
 
     rows = read_phrase_rows(args.ref)
@@ -146,7 +172,11 @@ def main():
     ):
         man_rows = []
         for i in range(n_sessions):
-            wav, vl = make_session(rng, args.duration, by_voice, voices)
+            wav, vl = make_session(
+                rng, args.duration, by_voice, voices,
+                p_shift=args.p_shift, p_overlap=args.p_overlap,
+                noise_rms=args.noise_rms,
+            )
             wp = os.path.join(args.out, f"{split}_{i:04d}.wav")
             vp = os.path.join(args.out, f"{split}_{i:04d}_vad.json")
             write_wav(wp, wav)

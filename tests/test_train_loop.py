@@ -424,3 +424,34 @@ def test_phrase_probe_wired_into_trainer(corpus, tmp_path):
               "val_pls_hold", "val_pls_pred", "val_pls_react"):
         assert k in lines[0], k
         assert 0.0 <= lines[0][k] <= 1.0
+
+
+def test_params_only_restore_from_full_state_ckpt(tmp_path):
+    """Inference-side consumers restore {'params'} from a FULL training
+    checkpoint (Trainer.save writes params+opt_state+step): the subset
+    template must work (evaluate.py/run.py/VapModel.from_args path)."""
+    from voiceactivityprojection_tpu.models.checkpoint import (
+        restore_checkpoint,
+        save_checkpoint,
+    )
+    from voiceactivityprojection_tpu.models.vap import init_vap
+    from voiceactivityprojection_tpu.train.step import (
+        init_train_state,
+        make_optimizer,
+    )
+
+    conf = VapConfig(dim=16, encoder_dim=16, channel_layers=1, cross_layers=1)
+    params = init_vap(jax.random.key(0), conf)
+    tx = make_optimizer(OptConfig(), conf.freeze_encoder)
+    state = init_train_state(params, tx)
+    path = str(tmp_path / "full_ckpt")
+    save_checkpoint(
+        path,
+        {"params": state.params, "opt_state": state.opt_state,
+         "step": state.step},
+    )
+    restored = restore_checkpoint(path, {"params": params})
+    assert set(restored) == {"params"}
+    for a, b in zip(jax.tree.leaves(params),
+                    jax.tree.leaves(restored["params"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

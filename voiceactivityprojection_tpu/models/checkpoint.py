@@ -426,6 +426,17 @@ def restore_checkpoint(path: str, template: Any = None) -> Any:
     import orbax.checkpoint as ocp
 
     with ocp.StandardCheckpointer() as ckptr:
-        if template is not None:
+        if template is None:
+            return ckptr.restore(path)
+        try:
             return ckptr.restore(path, template)
-        return ckptr.restore(path)
+        except ValueError:
+            # the template selects a SUBSET of the on-disk items — e.g.
+            # every params-only consumer (evaluate/run/extraction CLIs,
+            # VapModel.from_args) reading a FULL training-state checkpoint
+            # ({"params", "opt_state", "step"}, Trainer.save): restore
+            # unstructured and select the requested top-level keys
+            full = ckptr.restore(path)
+            if isinstance(template, Mapping) and isinstance(full, Mapping):
+                return {k: full[k] for k in template}
+            raise
