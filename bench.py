@@ -193,13 +193,79 @@ def bench_train(batch: int = 16, probe: bool = True) -> dict:
     return record
 
 
+def bench_mono(batch: int = 64) -> None:
+    """`bench.py --mono [batch]`: mono-model (VAD-conditioned) forward
+    throughput — the standalone companion number for the mono harness
+    (reference vap/train_mono.py); not part of the default driver line."""
+    from voiceactivityprojection_tpu.config import VapMonoConfig
+    from voiceactivityprojection_tpu.models.vap import forward_mono, init_vap_mono
+    from voiceactivityprojection_tpu.utils.flops import (
+        device_peak_tflops,
+        mono_forward_flops,
+    )
+
+    _probe_device()
+    chunk_s, sr = 20.0, 16_000
+    n = int(chunk_s * sr)
+    conf = VapMonoConfig(dtype="bfloat16")
+    params = init_vap_mono(jax.random.key(0), conf)
+    rng = np.random.default_rng(0)
+    wfs = [
+        jnp.asarray(rng.normal(size=(batch, 1, n)).astype(np.float32) * 0.1)
+        for _ in range(4)
+    ]
+    vad = jnp.asarray(
+        (rng.random((batch, int((chunk_s + 2) * 50), 2)) < 0.4).astype(np.float32)
+    )
+
+    @jax.jit
+    def step(params, wf, vad):
+        out = forward_mono(params, wf, vad, conf)
+        return jax.nn.softmax(out["logits"], -1).sum()
+
+    t0 = time.time()
+    float(step(params, wfs[0], vad))
+    compile_s = time.time() - t0
+    acc = jnp.zeros(())
+    for i in range(10):
+        acc = acc + step(params, wfs[i % 4], vad)
+    float(acc)
+    iters = 10
+    t0 = time.time()
+    acc = jnp.zeros(())
+    for i in range(iters):
+        acc = acc + step(params, wfs[i % 4], vad)
+    acc = float(acc)
+    elapsed = time.time() - t0
+    assert np.isfinite(acc)
+    value = batch * chunk_s * iters / elapsed
+    fl = mono_forward_flops(n, conf.dim, conf.channel_layers, conf.cross_layers)
+    achieved = fl["total"] * batch * iters / elapsed / 1e12
+    peak = device_peak_tflops()
+    print(json.dumps({
+        "metric": "mono_audio_seconds_per_second",
+        "value": round(value, 2),
+        "unit": "audio_s/s",
+        "vs_baseline": round(value / 100.0, 3),
+        "gflops_per_chunk": round(fl["total"] / 1e9, 2),
+        "achieved_tflops": round(achieved, 2),
+        "peak_bf16_tflops": peak,
+        "mfu": round(achieved / peak, 4) if peak else None,
+    }))
+    print(f"# mono batch={batch} iters={iters} elapsed={elapsed:.3f}s "
+          f"compile={compile_s:.1f}s", file=sys.stderr)
+
+
 def main() -> None:
     from voiceactivityprojection_tpu.config import VapConfig
     from voiceactivityprojection_tpu.models.vap import forward, init_vap, probs_from_logits
 
-    args = [a for a in sys.argv[1:] if a != "--train"]
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
     if "--train" in sys.argv[1:]:
         print(json.dumps(bench_train(int(args[0]) if args else 16)))
+        return
+    if "--mono" in sys.argv[1:]:
+        bench_mono(int(args[0]) if args else 64)
         return
 
     _probe_device()

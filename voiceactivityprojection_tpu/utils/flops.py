@@ -126,6 +126,29 @@ def stereo_train_flops(
     return out
 
 
+def mono_forward_flops(
+    n_samples: int, dim: int = 256, channel_layers: int = 1, cross_layers: int = 3,
+) -> Dict[str, float]:
+    """FLOPs for ONE mono VAP forward (B=1): single-channel encoder, the
+    VAD-conditioning projection, channel_layers + cross_layers PLAIN GPT
+    layers (no stereo/cross sites, vap/model.py:330-353), vap head only
+    (no VA classifier)."""
+    st = stereo_forward_flops(n_samples, dim, channel_layers, cross_layers)
+    t50 = (n_samples // 160) // 2
+    layers = (channel_layers + cross_layers) * _layer_flops(t50, dim, cross=False)
+    cond = 2.0 * t50 * 2 * dim  # va_condition Linear(2 -> dim)
+    head = 2.0 * t50 * dim * 256
+    stages = {
+        "conv_stack": st["conv_stack"] / 2,
+        "gru": st["gru"] / 2,
+        "downsample": st["downsample"] / 2,
+        "gpt": layers,
+        "cond_heads": cond + head,
+    }
+    stages["total"] = sum(stages.values())
+    return stages
+
+
 # bf16 peak matmul throughput per chip, TFLOP/s (public figures)
 PEAK_BF16_TFLOPS = {
     "TPU v4": 275.0,
