@@ -39,6 +39,13 @@ if [ ! -f /tmp/r4q_bench.log ]; then
   echo "rc=$?" >> /tmp/r4q_bench.log
 fi
 
+# 1b. flash backward A/B: fused single-block kernel vs split pair
+if [ ! -f /tmp/r4q_flashbwd.log ]; then
+  echo "$(date -u +%H:%M:%S) [1b/6] flash backward A/B"
+  timeout 2400 python examples/bench_flash_bwd.py > /tmp/r4q_flashbwd.log 2>&1
+  echo "rc=$?" >> /tmp/r4q_flashbwd.log
+fi
+
 # 2. train-step level-2 decomposition at B=16 and B=32
 if [ ! -f /tmp/r4q_profile16.log ]; then
   echo "$(date -u +%H:%M:%S) [2/6] profile_train_step 16 --deep"

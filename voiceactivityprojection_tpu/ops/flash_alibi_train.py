@@ -363,6 +363,66 @@ def _bwd_dkv_kernel(
         dv_ref[0] = dv_scr[:].astype(dv_ref.dtype)
 
 
+def _bwd_fused_kernel(
+    slope_ref, seed_ref,
+    q_ref, k_ref, v_ref, do_ref,   # (1, Tp, dh)
+    lse_ref, delta_ref,            # (1, Tp, LANES)
+    dq_ref, dk_ref, dv_ref,
+    *, scale, rate,
+):
+    """Single-block fused backward: when the whole (padded) sequence fits
+    one block pair (the 20 s / T=1000 training shape — both split-kernel
+    grids collapse to 1x1), computing dQ, dK and dV in ONE kernel saves a
+    full recompute of S = QK^T, the softmax weights, and dP = dO V^T that
+    the two-kernel path does twice — 7 (Tp, Tp) matmuls + 2 softmax
+    chains down to 5 + 1 per attention site. A/B vs the split pair:
+    examples/bench_flash_bwd.py; VAP_FLASH_BWD=split opts out."""
+    bh = pl.program_id(0)
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    do = do_ref[0]
+    Tp = q.shape[0]
+    s = jax.lax.dot_general(
+        q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale
+    gq = jax.lax.broadcasted_iota(jnp.int32, (Tp, Tp), 0)
+    gk = jax.lax.broadcasted_iota(jnp.int32, (Tp, Tp), 1)
+    s = s + slope_ref[bh] * (gk - gq).astype(s.dtype)
+    s = jnp.where(gk <= gq, s, NEG_INF)
+    w = jnp.exp(s - lse_ref[0, :, :1])
+    dp = jax.lax.dot_general(
+        do, v, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    if rate > 0.0:
+        keep = _hash_keep(
+            bh, gq, gk, seed_ref[0], jnp.uint32(_rate_threshold(rate))
+        )
+        inv = 1.0 / (1.0 - rate)
+        y = jnp.where(keep, w * inv, 0.0)
+        dp = jnp.where(keep, dp * inv, 0.0)
+    else:
+        y = w
+    dv_ref[0] = jax.lax.dot_general(
+        y.astype(do.dtype), do,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(dv_ref.dtype)
+    ds = w * (dp - delta_ref[0, :, :1])
+    dq_ref[0] = (scale * jax.lax.dot_general(
+        ds.astype(k.dtype), k,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )).astype(dq_ref.dtype)
+    dk_ref[0] = (scale * jax.lax.dot_general(
+        ds.astype(q.dtype), q,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )).astype(dk_ref.dtype)
+
+
 def _flash_train_backward(q, k, v, slopes, seed, out, lse, g, scale, rate,
                           block_q=None, block_k=None):
     if block_q is None or block_k is None:
@@ -395,6 +455,44 @@ def _flash_train_backward(q, k, v, slopes, seed, out, lse, g, scale, rate,
     slope_bh = jnp.broadcast_to(slopes[None, :], (B, H)).reshape(bh)
     interp = jax.default_backend() == "cpu"
     nq, nk = Tp // block_q, Tp // block_k
+
+    import os
+
+    if (
+        nq == 1 and nk == 1
+        and os.environ.get("VAP_FLASH_BWD", "fused") == "fused"
+    ):
+        # single-block fused path (see _bwd_fused_kernel): one kernel for
+        # dQ/dK/dV instead of two, sharing the score/softmax/dP recompute
+        dq, dk, dv = pl.pallas_call(
+            functools.partial(_bwd_fused_kernel, scale=scale, rate=rate),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=2,
+                grid=(bh,),
+                in_specs=[
+                    pl.BlockSpec((1, Tp, Dh), lambda b, *_: (b, 0, 0)),
+                    pl.BlockSpec((1, Tp, Dh), lambda b, *_: (b, 0, 0)),
+                    pl.BlockSpec((1, Tp, Dh), lambda b, *_: (b, 0, 0)),
+                    pl.BlockSpec((1, Tp, Dh), lambda b, *_: (b, 0, 0)),
+                    pl.BlockSpec((1, Tp, LANES), lambda b, *_: (b, 0, 0)),
+                    pl.BlockSpec((1, Tp, LANES), lambda b, *_: (b, 0, 0)),
+                ],
+                out_specs=[
+                    pl.BlockSpec((1, Tp, Dh), lambda b, *_: (b, 0, 0)),
+                    pl.BlockSpec((1, Tp, Dh), lambda b, *_: (b, 0, 0)),
+                    pl.BlockSpec((1, Tp, Dh), lambda b, *_: (b, 0, 0)),
+                ],
+            ),
+            out_shape=[
+                jax.ShapeDtypeStruct((bh, Tp, Dh), q.dtype),
+                jax.ShapeDtypeStruct((bh, Tp, Dh), k.dtype),
+                jax.ShapeDtypeStruct((bh, Tp, Dh), v.dtype),
+            ],
+            interpret=interp,
+        )(slope_bh, seed.reshape(1), qf, kf, vf, gf, lse3, delta3)
+        shp = (B, H, Tp, Dh)
+        dq, dk, dv = (x.reshape(shp)[:, :, :T] for x in (dq, dk, dv))
+        return dq, dk, dv
 
     qspec = lambda b, i, j, *_: (b, i, 0)
     kspec = lambda b, i, j, *_: (b, j, 0)
