@@ -88,6 +88,7 @@ class PhraseDataset:
         self.vad_hz = vad_hz
         self.vad_hop_time = 1.0 / vad_hz
         self.vad_horizon = vad_horizon
+        self._wav_cache: Dict[str, np.ndarray] = {}
 
         # corpus-wide max duration -> single padded shape
         self.max_time = float(
@@ -111,8 +112,17 @@ class PhraseDataset:
 
     def _to_output(self, row) -> Dict[str, Any]:
         audio_path = os.path.join(self.root, row["audio_path"])
-        w, _ = load_waveform(audio_path, sample_rate=self.sample_rate, mono=True)
-        w = w[0]  # phrases are mono files
+        # decoded-waveform cache: the val-epoch probe iterates the whole
+        # corpus EVERY epoch; re-decoding 360 wavs per epoch costs more
+        # host time than the on-chip forwards. Raw mono wavs are ~150 MB
+        # total for the reference corpus.
+        w = self._wav_cache.get(audio_path)
+        if w is None:
+            w, _ = load_waveform(
+                audio_path, sample_rate=self.sample_rate, mono=True
+            )
+            w = w[0]  # phrases are mono files
+            self._wav_cache[audio_path] = w
 
         out = np.zeros(self.n_samples, dtype=np.float32)
         out[: min(len(w), self.n_samples)] = w[: self.n_samples]
