@@ -52,6 +52,20 @@ def test_train_cli(corpus, tmp_path):
     ] + SMALL)
 
 
+def test_train_cli_mono_va_history(corpus, tmp_path):
+    """--mono registers the VapMonoConfig argparse surface (va_history
+    fields) — regression for the r4 on-chip failure where --mono still
+    parsed only VapConfig fields and --vap_va_history was rejected."""
+    _run([
+        "train.py", "--mono", "--vap_va_history", "1",
+        "--data_phrases_probe", "0", "--data_flip_channels", "0",
+        "--data_train_path", str(corpus / "train.csv"),
+        "--max_epochs", "1", "--limit_batches", "1",
+        "--data_batch_size", "2", "--out_dir", str(tmp_path / "runs"),
+        "--n_devices", "1",
+    ] + SMALL)
+
+
 def test_evaluate_cli(corpus, tmp_path):
     out = tmp_path / "eval"
     _run([

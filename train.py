@@ -52,7 +52,14 @@ def get_args() -> argparse.Namespace:
     parser.add_argument("--n_devices", type=int, default=0, help="0 = all")
     parser.add_argument("--limit_batches", type=int, default=0, help="debug cap")
     parser.add_argument("--mono", action="store_true")
-    VapConfig.add_argparse_args(parser)
+    # --mono switches the registered --vap_* surface to the mono config's
+    # SUPERSET (adds va_history/va_history_bins, reference
+    # model.py:82-122); scanned from argv because argparse must know the
+    # field set before parsing
+    import sys
+
+    conf_cls = VapMonoConfig if "--mono" in sys.argv[1:] else VapConfig
+    conf_cls.add_argparse_args(parser)
     OptConfig.add_argparse_args(parser)
     DataConfig.add_argparse_args(parser)
     EventConfig.add_argparse_args(parser)
