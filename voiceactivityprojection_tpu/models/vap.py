@@ -466,8 +466,8 @@ _forward_mono_jit = partial(jax.jit, static_argnames=("conf",))(forward_mono)
 
 
 @partial(jax.jit, static_argnames=("conf",))
-def _mono_probs_jit(params, waveform, va, conf):
-    out = forward_mono(params, waveform, va, conf)
+def _mono_probs_jit(params, waveform, va, conf, va_history=None):
+    out = forward_mono(params, waveform, va, conf, va_history=va_history)
     probs = jax.nn.softmax(out["logits"], axis=-1)
     return {
         "probs": probs,
@@ -500,7 +500,13 @@ class VapMonoModel:
 
     __call__ = forward
 
-    def probs(self, waveform, va) -> Dict[str, jax.Array]:
+    def probs(self, waveform, va, va_history=None) -> Dict[str, jax.Array]:
+        """Derived probabilities; `va_history` mirrors the reference's
+        optional vad_history conditioning at inference
+        (vap/phrases/evaluation_phrases.py:339-349)."""
+        if va_history is not None:
+            va_history = jnp.asarray(va_history)
         return _mono_probs_jit(
-            self.params, jnp.asarray(waveform), jnp.asarray(va), self.conf
+            self.params, jnp.asarray(waveform), jnp.asarray(va), self.conf,
+            va_history,
         )
