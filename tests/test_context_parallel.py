@@ -147,3 +147,35 @@ def test_context_parallel_mono(setup):
     np.testing.assert_allclose(
         got["logits"], want["logits"][:, :t50], rtol=2e-4, atol=2e-4
     )
+
+
+def test_context_parallel_mono_va_history(setup):
+    """The vah history conditioning (pointwise over time) shards exactly
+    like va: context-parallel logits match the single-device
+    forward_mono(va_history=...)."""
+    from voiceactivityprojection_tpu.config import VapMonoConfig
+    from voiceactivityprojection_tpu.models.vap import forward_mono, init_vap_mono
+    from voiceactivityprojection_tpu.parallel.context import (
+        forward_mono_context_parallel,
+    )
+
+    _, _, mesh = setup
+    conf = VapMonoConfig(va_history=1)
+    params = init_vap_mono(jax.random.key(7), conf)
+    t50 = 16
+    n = t50 * 320
+    rng = np.random.default_rng(8)
+    wav = jnp.asarray(rng.normal(size=(1, 1, n)).astype(np.float32) * 0.1)
+    va = jnp.asarray((rng.random((1, t50 + 10, 2)) < 0.4).astype(np.float32))
+    vah = jnp.asarray(rng.random((1, t50 + 10, 5)).astype(np.float32))
+
+    want = forward_mono(params, wav, va, conf, va_history=vah)
+    got = forward_mono_context_parallel(
+        params, wav, va, conf, mesh, va_history=vah
+    )
+    np.testing.assert_allclose(
+        got["logits"], want["logits"][:, :t50], rtol=2e-4, atol=2e-4
+    )
+    # and the history genuinely conditions the sharded path too
+    got_no = forward_mono_context_parallel(params, wav, va, conf, mesh)
+    assert float(jnp.abs(got["logits"] - got_no["logits"]).max()) > 1e-6

@@ -313,9 +313,12 @@ def _jit_stereo(conf, t50: int, axis: str, n_dev: int, mesh: Mesh):
 
 
 def _forward_mono_local(params: Params, wav_row: jax.Array, va: jax.Array,
-                        conf, t50: int, axis: str, n_dev: int):
+                        *maybe_vah, conf, t50: int, axis: str, n_dev: int):
     """Per-device slice of the mono forward (vap/model.py:367-393):
-    encoder + VAD conditioning (pointwise over time) + two plain GPTs."""
+    encoder + VAD conditioning (pointwise over time) + two plain GPTs.
+    An optional trailing vah array adds the history conditioning
+    (vap/model.py:354-359) — pointwise too, sliced like va."""
+    vah = maybe_vah[0] if maybe_vah else None
     t50_loc = t50 // n_dev
     t100_loc = 2 * t50_loc
     enc = params["encoder"]
@@ -330,6 +333,14 @@ def _forward_mono_local(params: Params, wav_row: jax.Array, va: jax.Array,
         va, (0, f0, 0), (va.shape[0], t50_loc, va.shape[-1])
     )
     cond = va_loc @ params["va_condition"]["w"].T + params["va_condition"]["b"]
+    if vah is not None:
+        vah_loc = jax.lax.dynamic_slice(
+            vah, (0, f0, 0), (vah.shape[0], t50_loc, vah.shape[-1])
+        )
+        cond = cond + (
+            vah_loc @ params["va_cond_history"]["w"].T
+            + params["va_cond_history"]["b"]
+        )
     cond = layer_norm(cond, params["va_cond_ln"]["w"], params["va_cond_ln"]["b"])
     x = x + cond.astype(x.dtype)
 
@@ -351,11 +362,14 @@ def forward_mono_context_parallel(
     conf,
     mesh: Mesh,
     axis: str = "data",
+    va_history: Optional[jax.Array] = None,
 ) -> Dict[str, jax.Array]:
     """Mono (VAD-conditioned) forward with time sharded over `mesh[axis]`.
-    waveform: (1, 1, n), (1, n) or (n,); va: (1, Tva, 2) with Tva >= T50.
+    waveform: (1, 1, n), (1, n) or (n,); va: (1, Tva, 2) with Tva >= T50;
+    optional va_history (1, Tvah, bins) adds the history conditioning
+    (vap/model.py:354-359 — pointwise over time, so it shards like va).
     Returns {"logits": (1, T50, n_classes), "vad": va[:, :T50]} — matching
-    models.vap.forward_mono (va_history conditioning not supported here)."""
+    models.vap.forward_mono."""
     wav = waveform.reshape(1, -1)
     n = wav.shape[-1]
     n_dev = mesh.shape[axis]
@@ -367,11 +381,23 @@ def forward_mono_context_parallel(
         "use pad_waveform_for_mesh"
     )
     assert va.shape[1] >= t50, (va.shape, t50)
+    use_vah = (
+        va_history is not None
+        and bool(getattr(conf, "va_history", False))
+        and "va_cond_history" in params
+    )
+    if use_vah:
+        if va_history.ndim == 2:
+            va_history = va_history[None]
+        assert va_history.shape[1] >= t50, (va_history.shape, t50)
 
     if n_dev == 1:
         from voiceactivityprojection_tpu.models.vap import forward_mono
 
-        out = forward_mono(params, wav, va, conf)
+        out = forward_mono(
+            params, wav, va, conf,
+            va_history=va_history if use_vah else None,
+        )
         return {"logits": out["logits"][:, :t50], "vad": va[:, :t50]}
 
     assert 2 * (t50 // n_dev) >= MARGIN_FRAMES, "chunks too small"
@@ -379,14 +405,16 @@ def forward_mono_context_parallel(
     margin = MARGIN_FRAMES * CPC_DOWNSAMPLE
     wav_pad = jnp.pad(wav_c, ((0, 0), (margin, margin)))
 
-    logits = _jit_mono(conf, t50, axis, n_dev, mesh)(
-        params_c, wav_pad, va.astype(jnp.float32)
-    )
+    args = (params_c, wav_pad, va.astype(jnp.float32))
+    if use_vah:
+        args = args + (va_history.astype(jnp.float32),)
+    logits = _jit_mono(conf, t50, axis, n_dev, mesh, use_vah)(*args)
     return {"logits": logits, "vad": va[:, :t50]}
 
 
 @functools.lru_cache(maxsize=16)
-def _jit_mono(conf, t50: int, axis: str, n_dev: int, mesh: Mesh):
+def _jit_mono(conf, t50: int, axis: str, n_dev: int, mesh: Mesh,
+              use_vah: bool = False):
     local = functools.partial(
         _forward_mono_local, conf=conf, t50=t50, axis=axis, n_dev=n_dev
     )
@@ -394,7 +422,7 @@ def _jit_mono(conf, t50: int, axis: str, n_dev: int, mesh: Mesh):
         jax.shard_map(
             local,
             mesh=mesh,
-            in_specs=(P(), P(), P()),
+            in_specs=(P(), P(), P()) + ((P(),) if use_vah else ()),
             out_specs=P(None, axis, None),
             check_vma=False,
         )
