@@ -1,13 +1,16 @@
-"""Interactive phrases-corpus browser (streamlit; mirrors reference
-analyzes/interface_stereo_phrases.py:1-101).
+"""Interactive phrases browser (streamlit; mirrors reference
+analyzes/interface_stereo_phrases.py:1-101): pick (phrase, long/short,
+gender, voice idx), run the model on the padded phrase sample, show the
+stereo panel (waveform + VAD + p_now/p_future) — optionally under a
+prosodic permutation (flat_f0 / flat_intensity / ..., the
+evaluate_phrases.py probe surface).
 
     streamlit run analyzes/interface_stereo_phrases.py -- \
-        [--state_dict sd.pt | --checkpoint dir] [--phrases_root /root/reference]
+        [--state_dict sd.pt | --checkpoint dir] [--phrases_root ROOT]
 
-Select phrase/length/gender/voice; shows the phrase figure with word
-alignments, EOT/SCP markers and p_now/p_future panels. Headless PNG mode:
+Falls back to a batch PNG export mode when streamlit is not installed:
 
-    python analyzes/interface_stereo_phrases.py --export out_dir --limit 5
+    python analyzes/interface_stereo_phrases.py --export out_dir --limit 4
 """
 
 from __future__ import annotations
@@ -25,10 +28,18 @@ from voiceactivityprojection_tpu.utils.runtime import setup_runtime
 setup_runtime()
 
 from voiceactivityprojection_tpu.config import VapConfig
-from voiceactivityprojection_tpu.data.phrases import DEFAULT_PHRASES_ROOT, PhraseDataset
+from voiceactivityprojection_tpu.data.phrases import (
+    DEFAULT_PHRASES_ROOT,
+    EXAMPLE_TO_SCP_WORD,
+    PhraseDataset,
+)
 from voiceactivityprojection_tpu.models.vap import VapModel
-from voiceactivityprojection_tpu.ops.codebook import get_probs
-from voiceactivityprojection_tpu.utils.plot import plot_phrases_sample
+from voiceactivityprojection_tpu.utils.plot import plot_stereo
+
+PERMUTATIONS = (
+    "regular", "flat_f0", "only_f0", "shift_f0_up", "shift_f0_down",
+    "flat_intensity", "duration_avg",
+)
 
 
 def get_args():
@@ -36,63 +47,79 @@ def get_args():
     parser.add_argument("--state_dict", type=str, default="")
     parser.add_argument("--checkpoint", type=str, default="")
     parser.add_argument("--phrases_root", type=str, default=DEFAULT_PHRASES_ROOT)
-    parser.add_argument("--export", type=str, default="")
-    parser.add_argument("--limit", type=int, default=5)
+    parser.add_argument("--export", type=str, default="", help="PNG export dir")
+    parser.add_argument("--limit", type=int, default=4)
+    parser.add_argument("--permutation", type=str, default="regular",
+                        choices=PERMUTATIONS)
     VapConfig.add_argparse_args(parser)
-    return parser.parse_args()
+    # streamlit passes its own argv after `--`; tolerate unknowns
+    args, _ = parser.parse_known_args()
+    return args
 
 
-def load_model(args) -> VapModel:
-    return VapModel.from_args(args)
+def _permute(item, permutation: str) -> np.ndarray:
+    """Apply one prosodic permutation to the active channel — the same
+    `permute_waveform` the probe CLI uses (evaluate_phrases.py:61-83,
+    reference evaluation_phrases.py:32-142)."""
+    if permutation == "regular":
+        return item["waveform"]
+    from evaluate_phrases import permute_waveform
+
+    out = np.array(item["waveform"])
+    y = permute_waveform(
+        permutation, np.asarray(out[0], np.float64), item
+    ).astype(np.float32)
+    n = min(len(y), out.shape[-1])
+    out[0, :n] = y[:n]
+    out[0, n:] = 0.0
+    return out
 
 
-def sample_figure(model, sample):
+def sample_figure(model, item, permutation: str):
     import jax.numpy as jnp
 
-    out = model.forward(jnp.asarray(sample["waveform"][None]))
-    probs = get_probs(out["logits"])
-    return plot_phrases_sample(
-        sample,
-        np.asarray(probs["p_now"])[0],
-        np.asarray(probs["p_future"])[0],
+    w = _permute(item, permutation)
+    out = model.probs(jnp.asarray(w[None]))
+    fig, axs = plot_stereo(
+        w,
+        p_now=np.asarray(out["p_now"])[0],
+        p_future=np.asarray(out["p_future"])[0],
+        vad=np.asarray(out["vad"])[0],
     )
+    return fig
 
 
 def run_streamlit(args) -> None:
     import streamlit as st
 
-    st.title("VAP phrases browser")
-    model = load_model(args)
+    st.title("VAP Phrases")
+    model = VapModel.from_args(args)
     ds = PhraseDataset(root=args.phrases_root)
-    df = ds.df
-    phrase = st.selectbox("phrase", sorted(df["phrase"].unique()))
-    long_short = st.selectbox("length", ["short", "long"])
-    gender = st.selectbox("gender", sorted(df["gender"].unique()))
-    # the voice range depends on the selected combination — a global max
-    # would let the slider address voices that don't exist for it
-    subset = df[
-        (df["phrase"] == phrase)
-        & (df["long_short"] == long_short)
-        & (df["gender"] == gender)
-    ]
-    idx = st.slider("voice", 0, int(subset["phrase_idx"].max()), 0)
-    sample = ds.get_sample(phrase, long_short, gender, idx)
-    st.text(sample["audio_path"])
-    fig, _ = sample_figure(model, sample)
+    c1, c2, c3, c4, c5 = st.columns([2, 1, 1, 1, 2])
+    phrase = c1.selectbox("phrase", sorted(EXAMPLE_TO_SCP_WORD))
+    longshort = c2.selectbox("length", ["short", "long"])
+    gender = c3.selectbox("gender", ["female", "male"])
+    idx = c4.number_input("voice idx (max 5)", 1, 5) - 1
+    permutation = c5.selectbox("permutation", list(PERMUTATIONS))
+    item = ds.get_sample(phrase, longshort, gender, int(idx))
+    st.text(os.path.basename(item["audio_path"]))
+    fig = sample_figure(model, item, permutation)
     st.pyplot(fig)
 
 
 def run_export(args) -> None:
-    model = load_model(args)
+    model = VapModel.from_args(args)
     ds = PhraseDataset(root=args.phrases_root)
     os.makedirs(args.export, exist_ok=True)
     for i in range(min(len(ds), args.limit)):
-        sample = ds[i]
-        fig, _ = sample_figure(model, sample)
-        name = os.path.basename(sample["audio_path"]).replace(".wav", ".png")
-        path = os.path.join(args.export, name)
-        fig.savefig(path, dpi=100)
-        print(f"Saved -> {path}")
+        item = ds[i]
+        fig = sample_figure(model, item, args.permutation)
+        name = (
+            f"{item['phrase']}_{item['long_short']}_{item['gender']}_"
+            f"{item['phrase_idx']}_{args.permutation}.png"
+        )
+        fig.savefig(os.path.join(args.export, name), dpi=100)
+        print(f"saved {name}")
 
 
 if __name__ == "__main__":
@@ -101,6 +128,9 @@ if __name__ == "__main__":
         run_export(args)
     else:
         try:
+            import streamlit  # noqa: F401
+
             run_streamlit(args)
         except ImportError:
-            print("streamlit not installed; use --export DIR for PNG mode")
+            print("streamlit not installed; use --export DIR for PNGs")
+            sys.exit(1)

@@ -151,3 +151,28 @@ def test_plot_phrases_sample(tmp_path):
     out = tmp_path / "phrase.png"
     plot_phrases_sample(sample, p, p, savepath=str(out))
     assert out.exists()
+
+
+def test_interface_stereo_phrases_export(tmp_path):
+    """Headless PNG export mode of the phrases browser (reference
+    analyzes/interface_stereo_phrases.py equivalent)."""
+    import os
+    import subprocess
+    import sys
+
+    if not os.path.exists("/root/reference/dataset_phrases/phrases.csv"):
+        import pytest
+
+        pytest.skip("no phrases corpus")
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = tmp_path / "phr"
+    r = subprocess.run(
+        [sys.executable, "analyzes/interface_stereo_phrases.py",
+         "--export", str(out), "--limit", "1",
+         "--vap_dim", "16", "--vap_encoder_dim", "16",
+         "--vap_channel_layers", "1", "--vap_cross_layers", "1"],
+        cwd=root, capture_output=True, text=True,
+        env=dict(os.environ, VAP_PLATFORM="cpu"), timeout=420,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert list(out.glob("*.png"))
