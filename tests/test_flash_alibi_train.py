@@ -185,3 +185,32 @@ def test_block_clamp_mid_range_lengths():
     val, grad = jax.value_and_grad(loss)(q)
     assert np.isfinite(float(val))
     assert np.all(np.isfinite(np.asarray(grad)))
+
+
+def test_fused_and_split_backward_agree(qkv, monkeypatch):
+    """The single-block fused backward kernel and the split dQ/dKV pair
+    must produce identical gradients (they share the math; the fused path
+    just computes all three in one kernel). On-chip the agreement is
+    bit-exact (analyzes/results_perf_r4/fused_split_onchip_diff.log)."""
+    q, k, v = qkv
+    slopes = alibi_slopes(H)
+    seed = jnp.asarray(5, jnp.int32)
+    cot = jax.random.normal(jax.random.key(3), (B, H, T, DH))
+
+    def grads():
+        def loss(q, k, v):
+            return jnp.sum(
+                flash_alibi_attention_train(q, k, v, slopes, seed, SCALE, 0.1)
+                * cot
+            )
+
+        return jax.jit(
+            lambda a, b, c: jax.grad(loss, argnums=(0, 1, 2))(a, b, c)
+        )(q, k, v)
+
+    monkeypatch.setenv("VAP_FLASH_BWD", "fused")
+    gf = grads()
+    monkeypatch.setenv("VAP_FLASH_BWD", "split")
+    gs = grads()
+    for a, b in zip(gf, gs):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
