@@ -89,7 +89,10 @@ if __name__ == "__main__":
     if args.export:
         run_export(args)
     else:
-        try:
-            run_streamlit(args)
+        try:  # only the availability probe — a missing dependency inside
+            # run_streamlit must surface as itself, not as this message
+            import streamlit  # noqa: F401
         except ImportError:
             print("streamlit not installed; use --export DIR for PNG mode")
+            sys.exit(1)
+        run_streamlit(args)

@@ -127,10 +127,9 @@ if __name__ == "__main__":
     if args.export:
         run_export(args)
     else:
-        try:
+        try:  # only the availability probe — run_streamlit's own import
             import streamlit  # noqa: F401
-
-            run_streamlit(args)
         except ImportError:
             print("streamlit not installed; use --export DIR for PNGs")
             sys.exit(1)
+        run_streamlit(args)

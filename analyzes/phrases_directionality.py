@@ -30,6 +30,9 @@ import csv
 import json
 import math
 import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
@@ -85,26 +88,34 @@ def sign_test_p(d):
     return min(1.0, 2.0 * tail)
 
 
-def heldout_keys():
+def heldout_keys(phrases_root: str = ""):
     """(gender, phrase_idx) pairs of the voices the pseudo-dialog corpus
     generator holds out of training. Derived at runtime from the
-    generator's own VAL_VOICES and the reference corpus' tts column, so an
+    generator's own VAL_VOICES and the corpus csv's tts column, so an
     edit to VAL_VOICES cannot silently desynchronize the --voices split
     (advisor finding r3). Falls back to the documented mapping
     (Wavenet-F/D = phrase_idx 4) only when either source is unavailable."""
     try:
         import sys
 
-        sys.path.insert(
-            0,
-            os.path.join(os.path.dirname(os.path.dirname(
-                os.path.abspath(__file__))), "examples"),
-        )
-        from make_phrases_dialog_corpus import VAL_VOICES  # type: ignore
+        ex_dir = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "examples")
+        sys.path.insert(0, ex_dir)
+        try:
+            from make_phrases_dialog_corpus import VAL_VOICES  # type: ignore
+        finally:
+            sys.path.remove(ex_dir)
 
         import pandas as pd
 
-        df = pd.read_csv("/root/reference/dataset_phrases/phrases.csv")
+        from voiceactivityprojection_tpu.data.phrases import (
+            DEFAULT_PHRASES_ROOT,
+            PHRASE_CSV,
+        )
+
+        df = pd.read_csv(os.path.join(
+            phrases_root or DEFAULT_PHRASES_ROOT, PHRASE_CSV
+        ))
         pairs = {
             (str(g), str(i))
             for g, i, t in zip(df["gender"], df["phrase_idx"], df["tts"])
@@ -121,6 +132,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--scores", default="phrases_eval/phrases_scores.csv")
     ap.add_argument("--out", default="")
+    ap.add_argument("--phrases_root", default="",
+                    help="corpus root for the tts-column voice mapping "
+                         "(default: the reference mount)")
     ap.add_argument(
         "--voices", choices=("all", "heldout", "train"), default="all",
         help="restrict the analysis by the pseudo-dialog corpus' voice "
@@ -132,7 +146,7 @@ def main():
 
     rows = load_rows(args.scores)
     if args.voices != "all":
-        held = heldout_keys()
+        held = heldout_keys(args.phrases_root)
         is_held = lambda r: (r["gender"], r["phrase_idx"]) in held
         keep = is_held if args.voices == "heldout" else (
             lambda r: not is_held(r))

@@ -157,11 +157,16 @@ def main_vmem():
     i8 = vmem_rate(jnp.int8, jnp.int32)
     bf = vmem_rate(jnp.bfloat16, jnp.float32)
     # sanity guard: if a future compiler still managed to elide dots, the
-    # apparent rate would blow past any physical MXU rate (int8 nominal is
-    # 2x the ~197 TF/s bf16 peak on v5e)
-    assert bf < 2.0 * 197.0 and i8 < 2.5 * 197.0, (
+    # apparent rate would blow past any physical MXU rate (int8 nominal
+    # is 2x the bf16 peak); bound taken from THIS device's peak so the
+    # bench stays valid on v5p/v6e
+    from voiceactivityprojection_tpu.utils.flops import device_peak_tflops
+
+    peak = device_peak_tflops() or 197.0
+    assert bf < 2.0 * peak and i8 < 2.5 * peak, (
         f"measured rate exceeds hardware peak (bf16 {bf:.0f}, int8 {i8:.0f} "
-        "T/s): the bench loop was likely optimized away")
+        f"T/s vs bf16 peak {peak:.0f}): the bench loop was likely "
+        "optimized away")
     print(f"int8/bf16 MXU issue-rate ratio: {i8 / bf:4.2f}x", flush=True)
 
 

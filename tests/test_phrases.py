@@ -190,3 +190,29 @@ def test_evaluate_merges_phrase_probe(tmp_path):
     assert "test_short_future_pred" in rows[0]
     vals = dict(zip(rows[0], rows[1]))
     assert 0.0 <= float(vals["test_short_future_pred"]) <= 1.0
+
+
+@needs_corpus
+def test_phrase_probe_mono_va_history():
+    """A va_history mono model is probed WITH the history feature (the
+    reference passes vad_history during phrase evaluation,
+    evaluation_phrases.py:339-349): removing the history head changes the
+    probe stats, proving vah reaches the forward."""
+    import jax as _jax
+
+    from voiceactivityprojection_tpu.config import VapMonoConfig
+    from voiceactivityprojection_tpu.models.vap import VapMonoModel
+
+    conf = VapMonoConfig(
+        dim=16, encoder_dim=16, channel_layers=1, cross_layers=1,
+        va_history=True,
+    )
+    model = VapMonoModel.init(_jax.random.key(0), conf)
+    probe = PhraseProbe(batch_size=4, mono=True, limit=4,
+                        va_history_times=(2.0, 1.0, 0.5, 0.25))
+    m1, _ = probe.extract_stats(model)
+
+    params2 = dict(model.params)
+    params2.pop("va_cond_history")  # forward silently skips the branch
+    m2, _ = probe.extract_stats(VapMonoModel(conf, params2))
+    assert any(abs(m1[k] - m2[k]) > 1e-9 for k in m1)

@@ -194,12 +194,20 @@ class PhraseProbe:
         batch_size: int = 10,
         mono: bool = False,
         limit: int = 0,
+        va_history_times: Tuple[float, ...] = (60.0, 30.0, 10.0, 5.0),
     ):
         self.dset = PhraseDataset(
             root=root, audio_mono=mono, silence=silence, limit=limit
         )
         self.region_frames = time_to_frames(region_time, self.dset.vad_hop_time)
         self.batch_size = batch_size
+        # mono models trained with va_history must be probed WITH it (the
+        # reference passes vad_history during phrase evaluation,
+        # vap/phrases/evaluation_phrases.py:339-349); derived per batch
+        # from the sample's own vad (no prior context exists for a phrase)
+        self.va_history_frames = tuple(
+            int(round(t * self.dset.vad_hz)) for t in va_history_times
+        )
 
     def extract_stats(self, model) -> Tuple[Dict[str, float], Dict[str, float]]:
         from voiceactivityprojection_tpu.ops.codebook import get_probs
@@ -210,11 +218,26 @@ class PhraseProbe:
         def add(name, arr):
             buckets.setdefault(name, []).append(np.atleast_1d(arr))
 
+        use_vah = self.dset.audio_mono and bool(
+            getattr(getattr(model, "conf", None), "va_history", False)
+        )
         for batch in self.dset.batches(self.batch_size):
             w = jnp.asarray(batch["waveform"])
             if self.dset.audio_mono:
                 # mono model: (B, 1, n) audio + required VAD conditioning
-                out = model.forward(w, jnp.asarray(batch["vad"]))
+                vah = None
+                if use_vah:
+                    from voiceactivityprojection_tpu.ops.vad import (
+                        get_activity_history,
+                    )
+
+                    vah = jnp.asarray(
+                        np.stack([
+                            get_activity_history(v, self.va_history_frames)
+                            for v in batch["vad"]
+                        ])
+                    )
+                out = model.forward(w, jnp.asarray(batch["vad"]), vah)
             else:
                 out = model.forward(w)
             probs = get_probs(out["logits"])
@@ -278,4 +301,7 @@ def make_phrase_probe(data_conf, mono: bool = False) -> Optional[PhraseProbe]:
         root=root,
         mono=mono,
         limit=int(getattr(data_conf, "phrases_probe_limit", 0)),
+        va_history_times=tuple(
+            getattr(data_conf, "va_history_times", (60.0, 30.0, 10.0, 5.0))
+        ),
     )

@@ -435,8 +435,27 @@ def restore_checkpoint(path: str, template: Any = None) -> Any:
             # every params-only consumer (evaluate/run/extraction CLIs,
             # VapModel.from_args) reading a FULL training-state checkpoint
             # ({"params", "opt_state", "step"}, Trainer.save): restore
-            # unstructured and select the requested top-level keys
+            # unstructured and select the requested top-level keys. The
+            # fallback is gated on the selection matching the template's
+            # STRUCTURE AND LEAF SHAPES — a genuinely mismatched
+            # checkpoint (e.g. different model dims) must re-raise the
+            # descriptive orbax error, not return silently-wrong arrays.
+            import jax
+
             full = ckptr.restore(path)
-            if isinstance(template, Mapping) and isinstance(full, Mapping):
-                return {k: full[k] for k in template}
+            if (
+                isinstance(template, Mapping)
+                and isinstance(full, Mapping)
+                and set(template) < set(full)
+            ):
+                sel = {k: full[k] for k in template}
+                if jax.tree.structure(sel) == jax.tree.structure(
+                    template
+                ) and all(
+                    getattr(a, "shape", None) == getattr(b, "shape", None)
+                    for a, b in zip(
+                        jax.tree.leaves(sel), jax.tree.leaves(template)
+                    )
+                ):
+                    return sel
             raise

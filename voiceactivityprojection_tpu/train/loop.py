@@ -629,7 +629,9 @@ class Trainer:
             "format": "trainstate_v2",
             "trainer": {
                 "next_epoch": (epoch + 1) if epoch is not None else 0,
-                "best_val": best_val,
+                # None for "no val yet": bare Infinity is not standard
+                # JSON and breaks strict consumers (jq etc.)
+                "best_val": best_val if np.isfinite(best_val) else None,
                 "plateau": {
                     "best": self.plateau.best,
                     "bad_epochs": self.plateau.bad_epochs,
