@@ -30,7 +30,6 @@ setup_runtime()
 from voiceactivityprojection_tpu.config import VapConfig
 from voiceactivityprojection_tpu.data.phrases import (
     DEFAULT_PHRASES_ROOT,
-    EXAMPLE_TO_SCP_WORD,
     PhraseDataset,
 )
 from voiceactivityprojection_tpu.models.vap import VapModel
@@ -96,10 +95,21 @@ def run_streamlit(args) -> None:
     model = VapModel.from_args(args)
     ds = PhraseDataset(root=args.phrases_root)
     c1, c2, c3, c4, c5 = st.columns([2, 1, 1, 1, 2])
-    phrase = c1.selectbox("phrase", sorted(EXAMPLE_TO_SCP_WORD))
+    phrase = c1.selectbox("phrase", sorted(ds.df["phrase"].unique()))
     longshort = c2.selectbox("length", ["short", "long"])
     gender = c3.selectbox("gender", ["female", "male"])
-    idx = c4.number_input("voice idx (max 5)", 1, 5) - 1
+    # voice choices derived from the SELECTED combination — a global range
+    # would let the slider address voices absent from a non-reference corpus
+    m = ds.df
+    voices = sorted(
+        m.loc[
+            (m["phrase"] == phrase)
+            & (m["long_short"] == longshort)
+            & (m["gender"] == gender),
+            "phrase_idx",
+        ].unique()
+    )
+    idx = c4.selectbox("voice idx", voices)
     permutation = c5.selectbox("permutation", list(PERMUTATIONS))
     item = ds.get_sample(phrase, longshort, gender, int(idx))
     st.text(os.path.basename(item["audio_path"]))

@@ -31,21 +31,11 @@ from voiceactivityprojection_tpu.ops.flash_alibi_train import (
 )
 
 
-def _force(x):
-    float(jnp.sum(jax.tree.leaves(x)[0]).astype(jnp.float32))
+from _bench_util import timed as _timed
 
 
 def timed(name, fn, iters=30, warmup=10):
-    for _ in range(warmup):
-        out = fn()
-    _force(out)
-    t0 = time.time()
-    for _ in range(iters):
-        out = fn()
-    _force(out)
-    ms = (time.time() - t0) / iters * 1e3
-    print(f"{name:40s} {ms:8.3f} ms", flush=True)
-    return ms
+    return _timed(name, fn, iters, warmup, width=40)
 
 
 def bench(B, H=4, T=1000, Dh=64, rate=0.1, dtype=jnp.bfloat16):

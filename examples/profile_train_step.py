@@ -53,24 +53,11 @@ from voiceactivityprojection_tpu.train.step import (
 )
 
 
-def _force(out):
-    """Hard sync: axon needs a host FETCH, not block_until_ready."""
-    leaf = jax.tree.leaves(out)[0]
-    float(jnp.sum(leaf).astype(jnp.float32))
+from _bench_util import timed as _timed
 
 
 def timed(name, fn, iters=20, warmup=8):
-    for _ in range(warmup):
-        out = fn()
-    _force(out)
-    t0 = time.time()
-    last = None
-    for _ in range(iters):
-        last = fn()
-    _force(last)  # in-order queue: waiting on the last waits on all
-    elapsed = (time.time() - t0) / iters * 1e3
-    print(f"{name:28s} {elapsed:8.2f} ms", flush=True)
-    return elapsed
+    return _timed(name, fn, iters, warmup, width=28)
 
 
 def main():

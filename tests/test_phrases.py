@@ -46,6 +46,16 @@ def test_phrase_dataset_fixed_shape():
 
 
 @needs_corpus
+def test_limit_keeps_both_lengths():
+    """Any limit (even 1) must keep >=1 short AND >=1 long row — the
+    val_ps_*/val_pl_* probe scalar families index both buckets."""
+    for limit in (1, 2, 3):
+        ds = PhraseDataset(limit=limit)
+        kinds = set(ds.df["long_short"])
+        assert kinds == {"short", "long"}, (limit, kinds)
+
+
+@needs_corpus
 def test_get_sample_lookup():
     ds = PhraseDataset()
     s = ds.get_sample("student", "short", "female", 0)

@@ -325,6 +325,39 @@ def test_resume_legacy_params_only(corpus, tmp_path):
     assert int(state.step) == 1
 
 
+def test_resume_torn_checkpoint_detected(corpus, tmp_path):
+    """A sidecar whose step disagrees with the orbax tensors (crash between
+    the tensor save and the sidecar commit) must REFUSE to resume rather
+    than silently pairing mismatched weights with schedule state."""
+
+    def mk(out):
+        conf = VapConfig(dim=16, encoder_dim=16, channel_layers=1,
+                         cross_layers=1)
+        return Trainer(
+            model_conf=conf,
+            opt_conf=OptConfig(patience=50),
+            data_conf=DataConfig(phrases_probe=0, train_path=corpus,
+                                 batch_size=2, audio_duration=4.0),
+            event_conf=EventConfig(min_context_time=1.0, max_time=4.0,
+                                   bc_negative_pad_left_time=0.4,
+                                   bc_negative_pad_right_time=0.4),
+            max_epochs=1,
+            out_dir=str(out),
+            n_devices=2,
+        )
+
+    seg1 = mk(tmp_path / "seg1")
+    seg1.fit()
+    ckpt = os.path.join(seg1.out_dir, "ckpt_last")
+    with open(ckpt + ".json") as f:
+        meta = json.load(f)
+    meta["step"] += 7  # simulate a torn save
+    with open(ckpt + ".json", "w") as f:
+        json.dump(meta, f)
+    with pytest.raises(RuntimeError, match="torn"):
+        mk(tmp_path / "seg2").fit(resume_from=ckpt)
+
+
 def test_checkpoint_roundtrip(corpus, tmp_path):
     from voiceactivityprojection_tpu.models.checkpoint import (
         restore_checkpoint,

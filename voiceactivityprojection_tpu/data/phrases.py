@@ -76,11 +76,15 @@ class PhraseDataset:
         self.df = load_phrase_dataframe(csv_path or os.path.join(root, PHRASE_CSV))
         if limit:
             # debug/fast-probe cap: a BALANCED subset (both lengths, so the
-            # val_ps_*/val_pl_*/val_pls_* scalar families all stay defined)
+            # val_ps_*/val_pl_*/val_pls_* scalar families all stay defined).
+            # Each length keeps >=1 row even at limit=1 (balance beats the
+            # exact cap — val_log_stats indexes both bucket families).
             import pandas as pd
 
-            short = self.df[self.df["long_short"] == "short"].iloc[: (limit + 1) // 2]
-            long_ = self.df[self.df["long_short"] == "long"].iloc[: limit // 2]
+            short = self.df[self.df["long_short"] == "short"].iloc[
+                : max(1, (limit + 1) // 2)
+            ]
+            long_ = self.df[self.df["long_short"] == "long"].iloc[: max(1, limit // 2)]
             self.df = pd.concat([short, long_]).reset_index(drop=True)
         self.sample_rate = sample_rate
         self.audio_mono = audio_mono

@@ -649,13 +649,19 @@ class Trainer:
                 "events_rng": [ev[0], list(ev[1]), ev[2]],
             },
         }
-        with open(os.path.join(self.out_dir, f"ckpt_{tag}.json"), "w") as f:
-            json.dump(meta, f)
+        # Tensors FIRST, sidecar LAST (atomically): a crash mid-save must
+        # never leave an epoch-N sidecar next to epoch-N-1 (or deleted)
+        # tensors — the sidecar is the commit record of the whole ckpt.
         save_checkpoint(
             path,
             {"params": state.params, "opt_state": state.opt_state,
              "step": state.step},
         )
+        sidecar = os.path.join(self.out_dir, f"ckpt_{tag}.json")
+        tmp = sidecar + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, sidecar)
 
     def _restore_full(self, state: TrainState, path: str, meta: Dict,
                       train_loader) -> Tuple[TrainState, int, float]:
@@ -672,6 +678,17 @@ class Trainer:
         state = TrainState(
             restored["params"], restored["opt_state"], restored["step"]
         )
+        # Torn-save detection: tensors are written before the sidecar, so a
+        # crash between the two leaves a step mismatch — refuse to resume
+        # from a checkpoint whose halves disagree rather than silently
+        # replaying with mismatched weights/schedule.
+        ckpt_step = int(jax.device_get(state.step))
+        if int(meta.get("step", ckpt_step)) != ckpt_step:
+            raise RuntimeError(
+                f"Checkpoint {path} is torn: sidecar step "
+                f"{meta.get('step')} != tensor step {ckpt_step} "
+                "(crash mid-save?). Resume from the previous ckpt tag."
+            )
         tr = meta["trainer"]
         self.plateau.best = tr["plateau"]["best"]
         self.plateau.bad_epochs = tr["plateau"]["bad_epochs"]
