@@ -77,3 +77,56 @@ def test_stitched_indices_match_reference_semantics(seconds):
     np.testing.assert_array_equal(got, want)
     # absolute-frame coverage: every output frame present exactly once
     assert len(got) == int(seconds * 50)
+
+
+def test_stitched_loss_dispatches_on_representation():
+    """The post-hoc stitched loss must use the OBJECTIVE'S OWN loss: the
+    discrete codebook CE applied to an 8-wide sigmoid plane would silently
+    clamp indices (garbage, no crash). Reconstructed-logit loss == the
+    true-logit loss for every representation."""
+    import jax.numpy as jnp
+
+    from voiceactivityprojection_tpu.ops import objective_variants as ov
+    from voiceactivityprojection_tpu.ops.codebook import get_labels
+    from voiceactivityprojection_tpu.ops.losses import loss_vap
+
+    rng = np.random.default_rng(0)
+    T = 120
+    vad = (rng.random((1, T, 2)) > 0.5).astype(np.float32)
+    bf = VapConfig().bin_frames
+
+    class Stub:
+        def __init__(self, rep):
+            self.conf = VapConfig(representation=rep)
+
+    # independent: (1, T, 8) Bernoulli logits
+    logits = rng.normal(size=(1, T, 8)).astype(np.float32)
+    got = VapExtractor(Stub("independent"))._stitched_loss(
+        1.0 / (1.0 + np.exp(-logits)), vad
+    )
+    want = np.asarray(ov.loss_vap_independent(
+        jnp.asarray(logits), ov.get_labels_independent(jnp.asarray(vad), bf),
+        reduction="none",
+    ))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+    # comparative: (1, T, 1) logit of speaker A's share
+    logits = rng.normal(size=(1, T, 1)).astype(np.float32)
+    got = VapExtractor(Stub("comparative"))._stitched_loss(
+        1.0 / (1.0 + np.exp(-logits)), vad
+    )
+    want = np.asarray(ov.loss_vap_comparative(
+        jnp.asarray(logits), ov.get_labels_comparative(jnp.asarray(vad), bf),
+        reduction="none",
+    ))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+    # discrete: softmax probs -> identical CE (shift-invariance of log p)
+    logits = rng.normal(size=(1, T, 256)).astype(np.float32)
+    p = np.exp(logits - logits.max(-1, keepdims=True))
+    p /= p.sum(-1, keepdims=True)
+    got = VapExtractor(Stub("discrete"))._stitched_loss(p, vad)
+    want = np.asarray(loss_vap(
+        jnp.asarray(logits), get_labels(jnp.asarray(vad), bf), reduction="none"
+    ))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)

@@ -143,6 +143,13 @@ def test_sds_rejects_unknown_transformer_mode(model):
         TurnTakingSDS(model, SDSConfig(zmq_port=0, transformer_mode="nope"))
 
 
+def test_sds_zero_smoothing_means_newest_frame(model):
+    """prob_smooth_time=0 = 'no smoothing' (the newest frame), NOT the
+    whole window (p_now[-0:]) in window mode / unbounded history in kv."""
+    sds = TurnTakingSDS(model, SDSConfig(zmq_port=0, prob_smooth_time=0.0))
+    assert sds.smooth_frames == 1
+
+
 def test_run_cli_on_example_wav(model, tmp_path):
     """Drive the run.py CLI end-to-end on the real example wav."""
     if not os.path.exists(EXAMPLE_WAV):

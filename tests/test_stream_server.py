@@ -89,3 +89,70 @@ def test_stream_slot_exhaustion_and_recycle():
     finally:
         b.close()
         server.stop()
+
+
+def test_tick_fifo_resets_and_requeue():
+    """Unit-level tick semantics: two chunks queued within one tick window
+    are consumed FIFO over TWO ticks (no audio drop, every req_id
+    replied); open-time slot resets are applied by the tick thread (the
+    receiver thread must not touch streamer state — lost-update race)."""
+    model = VapModel.init(jax.random.key(2), CONF)
+    server = VapStreamServer(model, streams=2, context_time=1.0, hop_frames=2)
+    server.streamer.reset()
+    server.sessions[0] = b"client"
+    server._resets.add(0)
+    c1 = np.full((2, server.hop_samples), 0.1, np.float32)
+    c2 = -c1
+    server.pending[0] = [("r1", c1), ("r2", c2)]
+
+    replies = server._tick()
+    assert set(replies) == {0} and replies[0][0] == "r1"
+    assert not server._resets              # reset applied at tick time
+    assert server._work.is_set()           # queued chunk triggers next tick
+    assert server.pending[0][0][0] == "r2"
+
+    replies = server._tick()
+    assert replies[0][0] == "r2"
+    assert 0 not in server.pending
+
+
+def test_idle_session_evicted():
+    """A client that vanishes without 'close' must not occupy its slot
+    forever: _evict_idle reclaims it after session_timeout_s."""
+    import time
+
+    model = VapModel.init(jax.random.key(3), CONF)
+    server = VapStreamServer(
+        model, streams=1, context_time=1.0, hop_frames=2,
+        session_timeout_s=0.01,
+    )
+    server.sessions[0] = b"gone"
+    server.last_seen[0] = time.time() - 1.0
+    server.pending[0] = [("r", np.zeros((2, server.hop_samples), np.float32))]
+    server._evict_idle()
+    assert server.sessions == {} and server.pending == {}
+    assert server.stats["evictions"] == 1
+
+
+def test_recv_matching_discards_stale_replies():
+    """After a receive timeout, the late reply must not be returned as the
+    NEXT request's result: _recv_matching drops mismatched req_ids."""
+    import json
+
+    from voiceactivityprojection_tpu.inference.server import _recv_matching
+
+    class FakeSock:
+        def __init__(self, frames):
+            self.frames = list(frames)
+
+        def recv_multipart(self):
+            return self.frames.pop(0)
+
+    stale = [json.dumps({"req_id": 1, "keys": [], "shapes": {}}).encode(), b""]
+    good = [json.dumps({"req_id": 2, "keys": [], "shapes": {}}).encode(), b"xy"]
+    h, payload = _recv_matching(FakeSock([stale, good]), 2)
+    assert h["req_id"] == 2 and payload == b"xy"
+
+    err = [json.dumps({"req_id": 3, "error": "boom"}).encode()]
+    with pytest.raises(ValueError, match="boom"):
+        _recv_matching(FakeSock([stale, err]), 3)

@@ -146,6 +146,32 @@ def test_reset_stream_mid_batch(model):
     )
 
 
+def test_reset_stream_clears_encoder_state(model):
+    """Recycling a slot must also clear the shared streaming ENCODER's
+    per-stream state (conv tails + GRU hidden): the recycled slot's
+    outputs may not depend on the previous dialog's AUDIO (cross-session
+    contamination), not just on its K/V rings."""
+    from voiceactivityprojection_tpu.inference.streaming_kv import BatchedKVStreamer
+
+    S, hops = 2, 6
+    rng = np.random.default_rng(7)
+    hist_a = rng.normal(size=(hops, S, 2, 640)).astype(np.float32)
+    hist_b = hist_a.copy()
+    # same slot-1 history, DIFFERENT slot-0 (previous-dialog) audio
+    hist_b[:, 0] = rng.normal(size=(hops, 2, 640)).astype(np.float32)
+    new = rng.normal(size=(hops, S, 2, 640)).astype(np.float32)
+
+    outs = []
+    for hist in (hist_a, hist_b):
+        b = BatchedKVStreamer(model, streams=S, context_time=1.0, hop_frames=2)
+        for h in hist:
+            b.push(h)
+        b.reset_stream(0)
+        got = [np.asarray(b.push(n)["p_now"])[:, 0] for n in new]
+        outs.append(np.concatenate([g for g in got if g.size]))
+    np.testing.assert_array_equal(outs[0], outs[1])
+
+
 def test_kv_full_pipeline_matches_model(model):
     """Waveform in, probabilities out: exact streaming encoder + KV caches
     reproduce the full batch model on a prefix shorter than the context."""

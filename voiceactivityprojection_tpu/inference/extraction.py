@@ -136,16 +136,51 @@ class VapExtractor:
             stitched[k] = np.concatenate(parts, axis=0)[None]
 
         if vad is not None:
+            stitched["loss"] = self._stitched_loss(stitched["probs"], vad)
+        return stitched
+
+    def _stitched_loss(self, probs: np.ndarray, vad) -> np.ndarray:
+        """Post-hoc per-frame loss on the stitched timeline, dispatched on
+        the objective representation exactly like the single-shot path
+        (models/vap.py get_probs). Logits are reconstructed from the
+        stitched probabilities: log(p) for the softmax objective (CE is
+        shift-invariant, log p is already normalized), logit(p) for the
+        Bernoulli objectives."""
+        conf = self.model.conf
+        vad = jnp.asarray(vad)
+        rep = conf.representation
+        if rep == "discrete":
             from voiceactivityprojection_tpu.ops.codebook import get_labels
             from voiceactivityprojection_tpu.ops.losses import loss_vap
 
-            labels = get_labels(jnp.asarray(vad), self.model.conf.bin_frames)
-            T = min(stitched["probs"].shape[1], labels.shape[1])
-            logits = np.log(np.maximum(stitched["probs"][:, :T], 1e-12))
-            stitched["loss"] = np.asarray(
+            labels = get_labels(vad, conf.bin_frames)
+            T = min(probs.shape[1], labels.shape[1])
+            logits = np.log(np.maximum(probs[:, :T], 1e-12))
+            return np.asarray(
                 loss_vap(jnp.asarray(logits), labels[:, :T], reduction="none")
             )
-        return stitched
+
+        from voiceactivityprojection_tpu.ops import objective_variants as ov
+
+        p = np.clip(probs, 1e-7, 1.0 - 1e-7)
+        logits = np.log(p) - np.log1p(-p)  # sigmoid^-1, elementwise
+        if rep == "independent":
+            labels = ov.get_labels_independent(vad, conf.bin_frames)
+            T = min(logits.shape[1], labels.shape[1])
+            return np.asarray(
+                ov.loss_vap_independent(
+                    jnp.asarray(logits[:, :T]), labels[:, :T], reduction="none"
+                )
+            )
+        if rep == "comparative":
+            labels = ov.get_labels_comparative(vad, conf.bin_frames)
+            T = min(logits.shape[1], labels.shape[1])
+            return np.asarray(
+                ov.loss_vap_comparative(
+                    jnp.asarray(logits[:, :T]), labels[:, :T], reduction="none"
+                )
+            )
+        raise ValueError(f"unknown representation {rep!r}")
 
     # ------------------------------------------------------------------
     # minimal outputs (vap/extraction.py:83-96)

@@ -179,7 +179,12 @@ class TurnTakingSDS:
                 f"transformer_mode must be 'window' or 'kv', "
                 f"got {self.conf.transformer_mode!r}"
             )
-        self.smooth_frames = int(self.conf.prob_smooth_time * self.conf.frame_hz)
+        # >=1: prob_smooth_time=0 means "no smoothing" = the newest frame.
+        # 0 would slice p_now[-0:] (the WHOLE window) in window mode and
+        # make `del history[:-0]` a no-op (unbounded growth) in kv mode.
+        self.smooth_frames = max(
+            1, int(self.conf.prob_smooth_time * self.conf.frame_hz)
+        )
         # kv mode emits only the NEW frames per hop; keep a rolling history
         # for the 0.5 s smoothing window
         self._p_history: list = []

@@ -31,6 +31,14 @@ import numpy as np
 import jax.numpy as jnp
 
 
+def _join_serve_thread(t: Optional[threading.Thread]) -> None:
+    """Wait for a start()-spawned serve thread to finish its socket/ctx
+    teardown: returning from stop() while the daemon thread is mid
+    zmq ctx.term() aborts the process at interpreter exit."""
+    if t is not None and t is not threading.current_thread() and t.is_alive():
+        t.join(timeout=5)
+
+
 class _Request:
     __slots__ = ("ident", "req_id", "waveform", "n_frames")
 
@@ -178,6 +186,7 @@ class VapServer:
     def start(self, port: int = 5590) -> threading.Thread:
         ready = threading.Event()
         t = threading.Thread(target=self.serve, args=(port, ready), daemon=True)
+        self._thread = t
         t.start()
         ready.wait(timeout=10)
         return t
@@ -185,6 +194,7 @@ class VapServer:
     def stop(self):
         self._stop.set()
         self.queue.put(None)
+        _join_serve_thread(getattr(self, "_thread", None))
 
 
 class VapStreamServer:
@@ -215,6 +225,7 @@ class VapStreamServer:
         hop_frames: int = 1,
         max_wait_ms: float = 15.0,
         outputs: tuple = ("p_now", "p_future", "vad", "H"),
+        session_timeout_s: Optional[float] = 60.0,
     ):
         from voiceactivityprojection_tpu.inference.streaming_kv import (
             BatchedKVStreamer,
@@ -229,20 +240,38 @@ class VapStreamServer:
         self.hop_samples = self.streamer.hop_samples
         self.max_wait_s = max_wait_ms / 1000.0
         self.outputs = outputs
+        self.session_timeout_s = session_timeout_s
         self.sessions: Dict[int, bytes] = {}  # slot -> client ident
-        self.pending: Dict[int, tuple] = {}   # slot -> (req_id, chunk)
+        # slot -> FIFO of (req_id, chunk): a client that pushes twice
+        # within one tick window must not lose audio — extra chunks wait
+        # for the next ticks and every req_id gets its reply
+        self.pending: Dict[int, List[tuple]] = {}
+        self.last_seen: Dict[int, float] = {}  # slot -> last push/open time
+        # slots to recycle, applied by the TICK thread before it touches
+        # streamer state — reset_stream from the receiver thread would race
+        # the tick's state replacement (lost update -> stale-cache leak)
+        self._resets: set = set()
         self._lock = threading.Lock()
         self._work = threading.Event()
         self._stop = threading.Event()
-        self.stats = {"ticks": 0, "pushes": 0, "underruns": 0}
+        self.stats = {"ticks": 0, "pushes": 0, "underruns": 0, "evictions": 0}
 
     # ------------------------------------------------------------------
     def _tick(self) -> Dict[int, tuple]:
         """Advance every slot one hop; returns {slot: (req_id, outputs)}."""
         with self._lock:
-            todo = dict(self.pending)
-            self.pending.clear()
+            resets = list(self._resets)
+            self._resets.clear()
+            todo = {}
+            for slot, fifo in list(self.pending.items()):
+                todo[slot] = fifo.pop(0)
+                if not fifo:
+                    del self.pending[slot]
+            if self.pending:
+                self._work.set()  # queued chunks remain: tick again
             active = dict(self.sessions)
+        for slot in resets:
+            self.streamer.reset_stream(slot)
         chunks = np.zeros((self.streams, 2, self.hop_samples), dtype=np.float32)
         for slot, (_, chunk) in todo.items():
             chunks[slot] = chunk
@@ -256,6 +285,21 @@ class VapStreamServer:
             slot: (req_id, {k: v[:, slot] for k, v in out.items()})
             for slot, (req_id, _) in todo.items()
         }
+
+    def _evict_idle(self) -> None:
+        """Reclaim slots whose client stopped pushing without 'close' —
+        otherwise a crashed client occupies its slot forever and the
+        server leaks capacity until restart."""
+        if self.session_timeout_s is None:
+            return
+        cutoff = time.time() - self.session_timeout_s
+        with self._lock:
+            dead = [s for s, t in self.last_seen.items() if t < cutoff]
+            for s in dead:
+                self.sessions.pop(s, None)
+                self.pending.pop(s, None)
+                self.last_seen.pop(s, None)
+                self.stats["evictions"] += 1
 
     def serve(self, port: int = 5595, ready_event: Optional[threading.Event] = None):
         import zmq
@@ -297,7 +341,10 @@ class VapStreamServer:
                                 continue
                             slot = free[0]
                             self.sessions[slot] = ident
-                        self.streamer.reset_stream(slot)
+                            self.last_seen[slot] = time.time()
+                            # recycled by the tick thread BEFORE the slot's
+                            # first chunk is consumed (see _tick)
+                            self._resets.add(slot)
                         reply(ident, {"req_id": h.get("req_id"), "session": slot,
                                       "hop_samples": self.hop_samples})
                     elif op == "push":
@@ -310,7 +357,10 @@ class VapStreamServer:
                                 reply(ident, {"req_id": h.get("req_id"),
                                               "error": f"session {slot} not yours"})
                                 continue
-                            self.pending[slot] = (h.get("req_id"), chunk)
+                            self.pending.setdefault(slot, []).append(
+                                (h.get("req_id"), chunk)
+                            )
+                            self.last_seen[slot] = time.time()
                         self.stats["pushes"] += 1
                         self._work.set()
                     elif op == "close":
@@ -318,6 +368,7 @@ class VapStreamServer:
                         with self._lock:
                             self.sessions.pop(slot, None)
                             self.pending.pop(slot, None)
+                            self.last_seen.pop(slot, None)
                         reply(ident, {"req_id": h.get("req_id"), "closed": slot})
                     else:
                         reply(ident, {"req_id": h.get("req_id"),
@@ -329,6 +380,7 @@ class VapStreamServer:
         rt.start()
         try:
             while not self._stop.is_set():
+                self._evict_idle()
                 if not self._work.wait(timeout=0.05):
                     continue
                 # deadline: let the rest of the cohort arrive
@@ -368,6 +420,7 @@ class VapStreamServer:
     def start(self, port: int = 5595) -> threading.Thread:
         ready = threading.Event()
         t = threading.Thread(target=self.serve, args=(port, ready), daemon=True)
+        self._thread = t
         t.start()
         ready.wait(timeout=10)
         return t
@@ -375,6 +428,38 @@ class VapStreamServer:
     def stop(self):
         self._stop.set()
         self._work.set()
+        _join_serve_thread(getattr(self, "_thread", None))
+
+
+def _decode_payload(h: dict, payload: bytes) -> Dict[str, np.ndarray]:
+    """Decode a reply's packed-f32 payload per its keys/shapes header
+    (single owner for the wire format — both clients use it)."""
+    out: Dict[str, np.ndarray] = {}
+    offset = 0
+    for k in h["keys"]:
+        shape = h["shapes"][k]
+        size = int(np.prod(shape))
+        out[k] = np.frombuffer(
+            payload, dtype=np.float32, count=size, offset=offset * 4
+        ).reshape(shape)
+        offset += size
+    return out
+
+
+def _recv_matching(sock, req_id):
+    """Receive until the reply whose req_id matches ``req_id``; stale
+    replies from a previously timed-out request are DISCARDED — the first
+    TPU compile of a shape can outlast the client's RCVTIMEO, and without
+    this the next call would silently return the wrong input's outputs."""
+    while True:
+        parts = sock.recv_multipart()
+        h = json.loads(parts[0])
+        got = h.get("req_id")
+        if got is not None and req_id is not None and got != req_id:
+            continue
+        if "error" in h:
+            raise ValueError(h["error"])
+        return h, (parts[1] if len(parts) > 1 else b"")
 
 
 class VapStreamClient:
@@ -393,48 +478,36 @@ class VapStreamClient:
         self.hop_samples: Optional[int] = None
         self._next_id = 0
 
-    def _recv(self):
-        parts = self.sock.recv_multipart()
-        h = json.loads(parts[0])
-        if "error" in h:
-            raise ValueError(h["error"])
-        return h, (parts[1] if len(parts) > 1 else b"")
-
     def open(self) -> int:
-        self.sock.send_multipart(
-            [json.dumps({"op": "open", "req_id": self._next_id}).encode(), b""]
-        )
+        req_id = self._next_id
         self._next_id += 1
-        h, _ = self._recv()
+        self.sock.send_multipart(
+            [json.dumps({"op": "open", "req_id": req_id}).encode(), b""]
+        )
+        h, _ = _recv_matching(self.sock, req_id)
         self.session = int(h["session"])
         self.hop_samples = int(h["hop_samples"])
         return self.session
 
     def push(self, chunk: np.ndarray) -> Dict[str, np.ndarray]:
         chunk = np.ascontiguousarray(chunk, dtype=np.float32)
-        header = {"op": "push", "session": self.session, "req_id": self._next_id}
+        req_id = self._next_id
         self._next_id += 1
+        header = {"op": "push", "session": self.session, "req_id": req_id}
         self.sock.send_multipart([json.dumps(header).encode(), chunk.tobytes()])
-        h, payload = self._recv()
-        out: Dict[str, np.ndarray] = {}
-        offset = 0
-        for k in h["keys"]:
-            shape = h["shapes"][k]
-            size = int(np.prod(shape))
-            out[k] = np.frombuffer(
-                payload, dtype=np.float32, count=size, offset=offset * 4
-            ).reshape(shape)
-            offset += size
-        return out
+        h, payload = _recv_matching(self.sock, req_id)
+        return _decode_payload(h, payload)
 
     def close(self):
         if self.session is not None:
             try:
+                req_id = self._next_id
+                self._next_id += 1
                 self.sock.send_multipart(
-                    [json.dumps({"op": "close", "session": self.session}).encode(),
-                     b""]
+                    [json.dumps({"op": "close", "session": self.session,
+                                 "req_id": req_id}).encode(), b""]
                 )
-                self._recv()
+                _recv_matching(self.sock, req_id)
             except Exception:
                 pass
             self.session = None
@@ -458,20 +531,8 @@ class VapClient:
         self._next_id += 1
         header = {"req_id": req_id, "shape": list(waveform.shape)}
         self.sock.send_multipart([json.dumps(header).encode(), waveform.tobytes()])
-        h_raw, payload = self.sock.recv_multipart()
-        h = json.loads(h_raw)
-        if "error" in h:
-            raise ValueError(h["error"])
-        out: Dict[str, np.ndarray] = {}
-        offset = 0
-        for k in h["keys"]:
-            shape = h["shapes"][k]
-            size = int(np.prod(shape))
-            out[k] = np.frombuffer(
-                payload, dtype=np.float32, count=size, offset=offset * 4
-            ).reshape(shape)
-            offset += size
-        return out
+        h, payload = _recv_matching(self.sock, req_id)
+        return _decode_payload(h, payload)
 
     def close(self):
         self.sock.close(0)

@@ -81,8 +81,8 @@ def _window_step(
     return feats, ret
 
 
-@partial(jax.jit, static_argnames=("hop_frames",))
-def _causal_encode(params, chunk, enc_state, hop_frames: int):
+@jax.jit
+def _causal_encode(params, chunk, enc_state):
     return apply_encoder_streaming(params["encoder"], chunk, enc_state)
 
 
@@ -141,7 +141,7 @@ class StreamingVap:
             new_feats = self._enc.push(chunk)
         else:
             new_feats, self._enc_state = _causal_encode(
-                self.model.params, chunk, self._enc_state, self.hop_frames
+                self.model.params, chunk, self._enc_state
             )
         n_new = new_feats.shape[1]
         self.feats, out = _window_step(

@@ -64,14 +64,14 @@ from voiceactivityprojection_tpu.models.encoder_streaming_exact import (
     ExactStreamingEncoder,
 )
 from voiceactivityprojection_tpu.models.transformer import apply_combinator
+from voiceactivityprojection_tpu.inference.streaming import SAMPLES_PER_FRAME
 from voiceactivityprojection_tpu.ops.codebook import (
     entropy_bits,
     probs_next_speaker_aggregate,
 )
+from voiceactivityprojection_tpu.ops.conv import layer_norm
 
 Params = Dict[str, Any]
-
-SAMPLES_PER_FRAME = 320  # 16 kHz / 50 Hz
 
 
 # --------------------------------------------------------------------------
@@ -116,11 +116,9 @@ def init_kv_state(conf: VapConfig, context_frames: int, streams: int = 1) -> Par
 # single-frame primitives (all carry a leading stream axis S)
 # --------------------------------------------------------------------------
 def _layer_norm_vec(x: jax.Array, p: Params) -> jax.Array:
-    xf = x.astype(jnp.float32)
-    mean = xf.mean(-1, keepdims=True)
-    var = xf.var(-1, keepdims=True)
-    xf = (xf - mean) * jax.lax.rsqrt(var + 1e-5)
-    return (xf * p["w"] + p["b"]).astype(x.dtype)
+    # one owner for the LN math: ops/conv.layer_norm (same eps/casting as
+    # the batch forward — exact-prefix parity depends on it)
+    return layer_norm(x, p["w"], p["b"])
 
 
 def _heads(x: jax.Array, num_heads: int) -> jax.Array:
@@ -370,9 +368,20 @@ class BatchedKVStreamer:
         self.state = init_kv_state(self.conf, self.context_frames, self.streams)
 
     def reset_stream(self, i: int) -> None:
-        """Recycle stream slot i for a new dialog (stale cache is masked)."""
+        """Recycle stream slot i for a new dialog: the transformer K/V
+        rings are masked by zeroing the valid-frame count, AND the shared
+        streaming encoder's per-stream state (conv tails + GRU hidden,
+        rows 2i/2i+1) is zeroed — otherwise the new dialog's first seconds
+        of features would be conditioned on the previous caller's audio.
+
+        NOT thread-safe vs a concurrent push/push_features (both replace
+        whole-state pytrees); callers with multiple threads must serialize
+        resets with pushes (VapStreamServer routes them through the tick
+        thread)."""
         if self.state is not None:
             self.state["n"] = self.state["n"].at[i].set(0)
+        if self._enc is not None:
+            self._enc.reset_rows([2 * i, 2 * i + 1])
 
     def push(self, chunks: np.ndarray) -> Dict[str, jax.Array]:
         if self.state is None:

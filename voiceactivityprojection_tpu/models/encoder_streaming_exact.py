@@ -169,6 +169,22 @@ class ExactStreamingEncoder:
         self.primed = False
         self.frames_emitted = 0
 
+    def reset_rows(self, rows) -> None:
+        """Zero the per-stream encoder state of the given batch rows —
+        conv tails, GRU hidden, downsample tail — so a recycled serving
+        slot is NOT conditioned on the previous dialog's audio. The GRU
+        reset is exact-fresh; the zeroed conv tails behave as if the new
+        dialog were preceded by silence at each layer boundary, converging
+        to the batch-exact features once the tails flush (< the conv
+        stack's ~0.12 s receptive field)."""
+        rows = jnp.asarray(rows, dtype=jnp.int32)
+        st = self.state
+        self.state = ExactStreamState(
+            conv_tails=tuple(t.at[rows].set(0.0) for t in st.conv_tails),
+            gru_h=st.gru_h.at[rows].set(0.0),
+            down_tail=st.down_tail.at[rows].set(0.0),
+        )
+
     def push(self, chunk: jax.Array) -> jax.Array:
         chunk = jnp.asarray(chunk, dtype=self.dtype)
         assert chunk.ndim == 2 and chunk.shape[1] % 320 == 0, (
