@@ -109,6 +109,11 @@ def run_streamlit(args) -> None:
             "phrase_idx",
         ].unique()
     )
+    if not voices:  # non-reference corpora may lack a combination entirely
+        st.warning(
+            f"no samples for {phrase}/{longshort}/{gender} in this corpus"
+        )
+        st.stop()
     idx = c4.selectbox("voice idx", voices)
     permutation = c5.selectbox("permutation", list(PERMUTATIONS))
     item = ds.get_sample(phrase, longshort, gender, int(idx))

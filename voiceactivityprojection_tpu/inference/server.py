@@ -215,6 +215,16 @@ class VapStreamServer:
     ``max_wait_ms`` after the first pending chunk arrived; sessions that
     miss the deadline are advanced with SILENCE (zeros) and counted in
     ``stats["underruns"]`` — live audio cannot pause for a slow client.
+
+    RECYCLED-SLOT APPROXIMATION: a slot reopened mid-service resets its
+    encoder rows to zeros at STEADY tail lengths (encoder_streaming_exact
+    ``reset_rows``); a genuinely fresh stream instead primes with
+    symmetric-pad tails and emits one fewer frame on its first push. The
+    batched tick's fixed frames-per-slot shape cannot represent that
+    ragged first push, so a recycled session's first ~0.12 s of features
+    (one conv receptive field) deviates from a solo run before converging
+    to batch-exact output; the KV transformer state is exact-fresh from
+    the start. Measured consequence: only the first 1-2 hops differ.
     """
 
     def __init__(
@@ -258,13 +268,19 @@ class VapStreamServer:
 
     # ------------------------------------------------------------------
     def _tick(self) -> Dict[int, tuple]:
-        """Advance every slot one hop; returns {slot: (req_id, outputs)}."""
+        """Advance every slot one hop; returns {slot: (req_id, owner,
+        outputs)} where ``owner`` is the client ident that owned the slot
+        when its chunk was snapshotted — replies are addressed to the
+        OWNER, not whoever holds the slot at send time (a close+reopen by
+        a different client mid-tick must not receive the old dialog's
+        outputs)."""
         with self._lock:
             resets = list(self._resets)
             self._resets.clear()
             todo = {}
             for slot, fifo in list(self.pending.items()):
-                todo[slot] = fifo.pop(0)
+                req_id, chunk = fifo.pop(0)
+                todo[slot] = (req_id, self.sessions.get(slot), chunk)
                 if not fifo:
                     del self.pending[slot]
             if self.pending:
@@ -273,7 +289,7 @@ class VapStreamServer:
         for slot in resets:
             self.streamer.reset_stream(slot)
         chunks = np.zeros((self.streams, 2, self.hop_samples), dtype=np.float32)
-        for slot, (_, chunk) in todo.items():
+        for slot, (_, _, chunk) in todo.items():
             chunks[slot] = chunk
         self.stats["underruns"] += sum(
             1 for slot in active if slot not in todo
@@ -282,8 +298,8 @@ class VapStreamServer:
         out = {k: np.asarray(v) for k, v in out.items() if k in self.outputs}
         self.stats["ticks"] += 1
         return {
-            slot: (req_id, {k: v[:, slot] for k, v in out.items()})
-            for slot, (req_id, _) in todo.items()
+            slot: (req_id, owner, {k: v[:, slot] for k, v in out.items()})
+            for slot, (req_id, owner, _) in todo.items()
         }
 
     def _evict_idle(self) -> None:
@@ -396,7 +412,7 @@ class VapStreamServer:
                     if not self.pending:
                         continue  # spurious wake: never tick on silence only
                 replies = self._tick()
-                for slot, (req_id, res) in replies.items():
+                for slot, (req_id, owner, res) in replies.items():
                     header = {
                         "req_id": req_id,
                         "session": slot,
@@ -407,10 +423,12 @@ class VapStreamServer:
                         np.ascontiguousarray(res[k], dtype=np.float32).tobytes()
                         for k in res
                     )
+                    # address the snapshot-time owner; drop if the slot
+                    # changed hands (closed/evicted/reopened) since then
                     with self._lock:
-                        ident = self.sessions.get(slot)
-                    if ident is not None:
-                        reply(ident, header, payload)
+                        still_owns = self.sessions.get(slot) == owner
+                    if owner is not None and still_owns:
+                        reply(owner, header, payload)
         finally:
             self._stop.set()
             rt.join(timeout=2)
@@ -458,6 +476,16 @@ def _recv_matching(sock, req_id):
         if got is not None and req_id is not None and got != req_id:
             continue
         if "error" in h:
+            if got is None and req_id is not None:
+                # malformed-request errors carry req_id None; one arriving
+                # while we await a well-formed request is STALE traffic
+                # (an earlier timed-out packet), not this request's fate
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "discarding stale error reply: %s", h["error"]
+                )
+                continue
             raise ValueError(h["error"])
         return h, (parts[1] if len(parts) > 1 else b"")
 
