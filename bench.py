@@ -96,7 +96,7 @@ def _probe_device() -> None:
               file=sys.stderr, flush=True)
 
 
-def bench_train(batch: int = 16, probe: bool = True) -> dict:
+def bench_train(batch: int = 16, probe: bool = True, freeze: bool = True) -> dict:
     """Fused augmented train-step throughput + train MFU (BASELINE.md
     workload #4; forward-only MFU says nothing about the backward's
     headroom). Mirrors the Trainer's production step:
@@ -104,6 +104,9 @@ def bench_train(batch: int = 16, probe: bool = True) -> dict:
 
     Runs as part of the DEFAULT bench (merged into the single JSON line,
     VERDICT r3 item 4) and standalone via `bench.py --train [batch]`.
+    `--train_unfrozen` measures the UNFROZEN-encoder step instead (conv+
+    GRU train; the de-facto recipe while no pretrained blob exists —
+    uses the unfrozen FLOP accounting, utils/flops.py).
     Returns the record; the caller prints."""
     import jax.random as jrandom
 
@@ -124,7 +127,7 @@ def bench_train(batch: int = 16, probe: bool = True) -> dict:
 
     chunk_s, sr = 20.0, 16_000
     n = int(chunk_s * sr)
-    conf = VapConfig(dtype="bfloat16")
+    conf = VapConfig(dtype="bfloat16", freeze_encoder=freeze)
     params = init_vap(jax.random.key(0), conf)
     tx = make_optimizer(OptConfig(), conf.freeze_encoder)
     state = init_train_state(params, tx)
@@ -173,7 +176,9 @@ def bench_train(batch: int = 16, probe: bool = True) -> dict:
     achieved = stages["total"] * batch * iters / elapsed / 1e12
     peak = device_peak_tflops()
     record = {
-        "metric": "train_audio_seconds_per_second",
+        "metric": "train_audio_seconds_per_second"
+                  if freeze else "train_unfrozen_audio_seconds_per_second",
+        "freeze_encoder": freeze,
         "value": round(batch * chunk_s * iters / elapsed, 2),
         "unit": "audio_s/s",
         "vs_baseline": round(batch * chunk_s * iters / elapsed / 100.0, 3),
@@ -193,10 +198,11 @@ def bench_train(batch: int = 16, probe: bool = True) -> dict:
     return record
 
 
-def bench_mono(batch: int = 64) -> None:
-    """`bench.py --mono [batch]`: mono-model (VAD-conditioned) forward
-    throughput — the standalone companion number for the mono harness
-    (reference vap/train_mono.py); not part of the default driver line."""
+def bench_mono(batch: int = 64, probe: bool = True) -> dict:
+    """Mono-model (VAD-conditioned) forward throughput — BASELINE's mono
+    workload (reference vap/train_mono.py). Part of the DEFAULT bench
+    line (mono_* fields, VERDICT r4 item 5) and standalone via
+    `bench.py --mono [batch]`. Returns the record; callers print."""
     from voiceactivityprojection_tpu.config import VapMonoConfig
     from voiceactivityprojection_tpu.models.vap import forward_mono, init_vap_mono
     from voiceactivityprojection_tpu.utils.flops import (
@@ -204,7 +210,8 @@ def bench_mono(batch: int = 64) -> None:
         mono_forward_flops,
     )
 
-    _probe_device()
+    if probe:
+        _probe_device()
     chunk_s, sr = 20.0, 16_000
     n = int(chunk_s * sr)
     conf = VapMonoConfig(dtype="bfloat16")
@@ -242,7 +249,7 @@ def bench_mono(batch: int = 64) -> None:
     fl = mono_forward_flops(n, conf.dim, conf.channel_layers, conf.cross_layers)
     achieved = fl["total"] * batch * iters / elapsed / 1e12
     peak = device_peak_tflops()
-    print(json.dumps({
+    record = {
         "metric": "mono_audio_seconds_per_second",
         "value": round(value, 2),
         "unit": "audio_s/s",
@@ -251,9 +258,10 @@ def bench_mono(batch: int = 64) -> None:
         "achieved_tflops": round(achieved, 2),
         "peak_bf16_tflops": peak,
         "mfu": round(achieved / peak, 4) if peak else None,
-    }))
+    }
     print(f"# mono batch={batch} iters={iters} elapsed={elapsed:.3f}s "
           f"compile={compile_s:.1f}s", file=sys.stderr)
+    return record
 
 
 def main() -> None:
@@ -264,8 +272,13 @@ def main() -> None:
     if "--train" in sys.argv[1:]:
         print(json.dumps(bench_train(int(args[0]) if args else 16)))
         return
+    if "--train_unfrozen" in sys.argv[1:]:
+        print(json.dumps(
+            bench_train(int(args[0]) if args else 16, freeze=False)
+        ))
+        return
     if "--mono" in sys.argv[1:]:
-        bench_mono(int(args[0]) if args else 64)
+        print(json.dumps(bench_mono(int(args[0]) if args else 64)))
         return
 
     _probe_device()
@@ -367,6 +380,22 @@ def main() -> None:
             )
         except Exception as e:  # noqa: BLE001 — keep the inference number
             record["train_error"] = repr(e)
+
+    # ... and the MONO workload (BASELINE workloads list; VERDICT r4
+    # item 5): same merged-line pattern, same failure guard.
+    if os.environ.get("VAP_BENCH_SKIP_MONO") != "1":
+        try:
+            mo = bench_mono(64, probe=False)
+            record.update(
+                {
+                    "mono_audio_s_per_s": mo["value"],
+                    "mono_gflops_per_chunk": mo["gflops_per_chunk"],
+                    "mono_achieved_tflops": mo["achieved_tflops"],
+                    "mono_mfu": mo["mfu"],
+                }
+            )
+        except Exception as e:  # noqa: BLE001 — keep the inference number
+            record["mono_error"] = repr(e)
 
     print(json.dumps(record))
     _save_last_good(record)

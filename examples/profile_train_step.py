@@ -22,9 +22,21 @@ this script splits it so optimization effort lands on the real stall:
   opt        — optimizer update alone (AdamW masked multi-transform,
                real grads pytree)
 
+--unfrozen profiles the UNFROZEN-encoder step (vap/encoder.py:39-47's
+opposite; the de-facto recipe while no pretrained blob exists): the conv
+stack + GRU get a real backward and train, so --deep swaps the frozen
+enc_fwd stage for
+
+  enc_fwd    — unfused XLA encoder forward (the unfrozen training path;
+               the fused kernel's VJP would recompute, ROADMAP #3)
+  enc_grad   — encoder fwd+bwd vs a fixed output cotangent; enc_bwd =
+               enc_grad - enc_fwd is the conv+GRU+downsample backward
+  conv_grad  — conv-stack-only fwd+bwd (same cotangent trick)
+  gru_grad   — GRU-only fwd+bwd from precomputed conv features
+
 Every timing is chained-dispatch with a single host fetch (tunnel-safe).
 
-Usage: python examples/profile_train_step.py [batch] [--deep]
+Usage: python examples/profile_train_step.py [batch] [--deep] [--unfrozen]
 """
 
 import os
@@ -65,7 +77,8 @@ def main():
     B = int(pos[0]) if pos else 16
     sr, chunk_s = 16_000, 20.0
     n = int(chunk_s * sr)
-    conf = VapConfig(dtype="bfloat16")
+    conf = VapConfig(dtype="bfloat16",
+                     freeze_encoder="--unfrozen" not in sys.argv)
     params = init_vap(jax.random.key(0), conf)
     tx = make_optimizer(OptConfig(), conf.freeze_encoder)
     state = init_train_state(params, tx)
@@ -145,19 +158,27 @@ def deep(B, conf, params, tx, state, batch, key, *, t_step, t_aug, t_fwd,
 
     print("\n# ---- deep (level-2) decomposition ----")
 
-    # ---- encoder forward alone (frozen: conv+GRU fused on TPU, no bwd)
+    # ---- encoder forward alone. Frozen: conv+GRU fused on TPU, no bwd.
+    # Unfrozen: the XLA path the real training step uses (the fused
+    # kernel's VJP would recompute the whole stack, ROADMAP #3).
     @jax.jit
     def enc_fwd(p, wf):
         p, wf = _compute_cast(p, wf, conf)
         Bb = wf.shape[0]
         both = wf.reshape(Bb * 2, wf.shape[-1])
         z = apply_encoder(
-            p["encoder"], both, fused_auto=True, fuse_downsample=False
+            p["encoder"], both, fused_auto=conf.freeze_encoder,
+            fuse_downsample=False,
         )
         z = z.reshape(Bb, 2, *z.shape[1:])
         return z[:, 0], z[:, 1]
 
-    t_enc = timed("enc_fwd (frozen, no bwd)", lambda: enc_fwd(params, batch["waveform"]))
+    enc_tag = "frozen, no bwd" if conf.freeze_encoder else "unfrozen, XLA"
+    t_enc = timed(f"enc_fwd ({enc_tag})", lambda: enc_fwd(params, batch["waveform"]))
+
+    t_enc_grad = float("nan")
+    if not conf.freeze_encoder:
+        t_enc_grad = unfrozen_encoder_split(conf, params, batch, B)
 
     # ---- label computation alone
     lab = jax.jit(lambda v: get_labels(v, conf.bin_frames))
@@ -267,7 +288,12 @@ def deep(B, conf, params, tx, state, batch, key, *, t_step, t_aug, t_fwd,
     # ---- summary
     n_sites = 2 * conf.channel_layers + 2 * cross_sites(conf)
     t_tf_bwd = t_tf_grad - t_tf_fwd
-    resid = t_step - t_aug - t_enc - t_tf_grad - t_opt
+    import math as _math
+
+    enc_cost = t_enc if conf.freeze_encoder else (
+        t_enc_grad if not _math.isnan(t_enc_grad) else t_enc
+    )
+    resid = t_step - t_aug - enc_cost - t_tf_grad - t_opt
     peak = device_peak_tflops() or float("nan")
     st = stereo_forward_flops(batch["waveform"].shape[-1], conf.dim,
                               conf.channel_layers, conf.cross_layers)
@@ -286,10 +312,84 @@ def deep(B, conf, params, tx, state, batch, key, *, t_step, t_aug, t_fwd,
           f"{t_site_g - t_site_f:.2f} ms) = {n_sites * t_site_f:.1f} fwd / "
           f"{n_sites * (t_site_g - t_site_f):.1f} bwd ms if serial")
     print(f"#   labels {t_lab:.2f}  opt {t_opt:.2f}  aug {t_aug:.2f} ms")
-    print(f"#   step {t_step:.2f} = aug {t_aug:.2f} + enc {t_enc:.2f} + "
-          f"tf_grad {t_tf_grad:.2f} + opt {t_opt:.2f} + residual "
-          f"{resid:.2f} ms (residual = downsample bwd + dispatch/fusion "
-          f"differences between the pieces and the fused step)")
+    enc_name = "enc" if conf.freeze_encoder else "enc_grad"
+    print(f"#   step {t_step:.2f} = aug {t_aug:.2f} + {enc_name} "
+          f"{enc_cost:.2f} + tf_grad {t_tf_grad:.2f} + opt {t_opt:.2f} + "
+          f"residual {resid:.2f} ms (residual = downsample bwd + dispatch/"
+          f"fusion differences between the pieces and the fused step)")
+    from voiceactivityprojection_tpu.utils.flops import stereo_train_flops
+
+    tr = stereo_train_flops(
+        batch["waveform"].shape[-1], conf.dim, conf.channel_layers,
+        conf.cross_layers, frozen_encoder=conf.freeze_encoder,
+    )
+    step_tfs = tr["total"] * B / (t_step * 1e-3) / 1e12
+    print(f"#   step MFU ({'frozen' if conf.freeze_encoder else 'unfrozen'}"
+          f" accounting): {tr['total'] * B / 1e9:.1f} GF/step -> "
+          f"{step_tfs:.1f} TF/s = {step_tfs / peak * 100:.1f}% peak")
+
+
+def unfrozen_encoder_split(conf, params, batch, B):
+    """Encoder fwd+bwd decomposition for the UNFROZEN step: time the
+    encoder (and its conv-stack / GRU pieces) against a FIXED output
+    cotangent — the grads must be returned or XLA dead-code-eliminates
+    the backward (same trap as the r3 grad-timing bug)."""
+    import numpy as np
+
+    from voiceactivityprojection_tpu.models.encoder import _conv_stack, apply_encoder
+    from voiceactivityprojection_tpu.models.vap import _compute_cast
+    from voiceactivityprojection_tpu.ops.gru import gru as gru_op
+
+    pc, wfc = _compute_cast(params, batch["waveform"], conf)
+    enc_p = pc["encoder"]
+    both = wfc.reshape(B * 2, wfc.shape[-1])
+
+    z_shape_probe = jax.eval_shape(
+        lambda e, w: apply_encoder(e, w, fused_auto=False, fuse_downsample=False),
+        enc_p, both,
+    )
+    rng = np.random.default_rng(2)
+    ct = jnp.asarray(
+        rng.normal(size=z_shape_probe.shape).astype(np.float32)
+    )
+
+    def enc_loss(e, w):
+        z = apply_encoder(e, w, fused_auto=False, fuse_downsample=False)
+        return (z.astype(jnp.float32) * ct).sum()
+
+    enc_grad = jax.jit(lambda e, w: jax.grad(enc_loss)(e, w))
+    t_enc_grad = timed("enc_grad (fwd+bwd, cotangent)",
+                       lambda: enc_grad(enc_p, both))
+
+    conv_probe = jax.eval_shape(
+        lambda e, w: _conv_stack(e, w[..., None]), enc_p, both
+    )
+    ct_c = jnp.asarray(rng.normal(size=conv_probe.shape).astype(np.float32))
+
+    def conv_loss(e, w):
+        return (_conv_stack(e, w[..., None]).astype(jnp.float32) * ct_c).sum()
+
+    conv_fwd = jax.jit(lambda e, w: _conv_stack(e, w[..., None]))
+    conv_grad = jax.jit(lambda e, w: jax.grad(conv_loss)(e, w))
+    t_conv_fwd = timed("conv_fwd (XLA, stack only)",
+                       lambda: conv_fwd(enc_p, both))
+    t_conv_grad = timed("conv_grad (fwd+bwd)", lambda: conv_grad(enc_p, both))
+
+    feats = jax.block_until_ready(conv_fwd(enc_p, both))
+
+    def gru_loss(g):
+        out, _ = gru_op(g, feats)
+        return (out.astype(jnp.float32) * ct_c).sum()
+
+    gru_grad = jax.jit(lambda g: jax.grad(gru_loss)(g))
+    t_gru_fwd = timed("gru_fwd (from conv feats)",
+                      lambda: gru_op(enc_p["gAR"], feats)[0])
+    t_gru_grad = timed("gru_grad (fwd+bwd)", lambda: gru_grad(enc_p["gAR"]))
+
+    print(f"#   enc_bwd = enc_grad - enc_fwd; pieces: conv bwd "
+          f"{t_conv_grad - t_conv_fwd:.2f} ms, gru bwd "
+          f"{t_gru_grad - t_gru_fwd:.2f} ms")
+    return t_enc_grad
 
 
 def cross_sites(conf):

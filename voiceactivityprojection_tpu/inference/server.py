@@ -265,6 +265,10 @@ class VapStreamServer:
         self._work = threading.Event()
         self._stop = threading.Event()
         self.stats = {"ticks": 0, "pushes": 0, "underruns": 0, "evictions": 0}
+        # slot -> silence-advances while this session owned it; reported in
+        # the close reply so clients know whether their effective audio
+        # equals exactly what they pushed (soak contamination checks)
+        self.slot_underruns: Dict[int, int] = {}
 
     # ------------------------------------------------------------------
     def _tick(self) -> Dict[int, tuple]:
@@ -291,9 +295,11 @@ class VapStreamServer:
         chunks = np.zeros((self.streams, 2, self.hop_samples), dtype=np.float32)
         for slot, (_, _, chunk) in todo.items():
             chunks[slot] = chunk
-        self.stats["underruns"] += sum(
-            1 for slot in active if slot not in todo
-        )
+        missed = [slot for slot in active if slot not in todo]
+        self.stats["underruns"] += len(missed)
+        with self._lock:
+            for slot in missed:
+                self.slot_underruns[slot] = self.slot_underruns.get(slot, 0) + 1
         out = self.streamer.push(chunks)
         out = {k: np.asarray(v) for k, v in out.items() if k in self.outputs}
         self.stats["ticks"] += 1
@@ -358,6 +364,7 @@ class VapStreamServer:
                             slot = free[0]
                             self.sessions[slot] = ident
                             self.last_seen[slot] = time.time()
+                            self.slot_underruns[slot] = 0
                             # recycled by the tick thread BEFORE the slot's
                             # first chunk is consumed (see _tick)
                             self._resets.add(slot)
@@ -385,7 +392,10 @@ class VapStreamServer:
                             self.sessions.pop(slot, None)
                             self.pending.pop(slot, None)
                             self.last_seen.pop(slot, None)
-                        reply(ident, {"req_id": h.get("req_id"), "closed": slot})
+                            underruns = self.slot_underruns.pop(slot, 0)
+                        reply(ident, {"req_id": h.get("req_id"),
+                                      "closed": slot,
+                                      "underruns": underruns})
                     else:
                         reply(ident, {"req_id": h.get("req_id"),
                                       "error": f"unknown op {op!r}"})
@@ -526,7 +536,11 @@ class VapStreamClient:
         h, payload = _recv_matching(self.sock, req_id)
         return _decode_payload(h, payload)
 
-    def close(self):
+    def close(self) -> Optional[dict]:
+        """Close the session; returns the server's close reply header
+        (carries ``underruns``: silence-advances while this session owned
+        its slot) or None if the close handshake failed."""
+        reply_h = None
         if self.session is not None:
             try:
                 req_id = self._next_id
@@ -535,12 +549,13 @@ class VapStreamClient:
                     [json.dumps({"op": "close", "session": self.session,
                                  "req_id": req_id}).encode(), b""]
                 )
-                _recv_matching(self.sock, req_id)
+                reply_h, _ = _recv_matching(self.sock, req_id)
             except Exception:
                 pass
             self.session = None
         self.sock.close(0)
         self.ctx.term()
+        return reply_h
 
 
 class VapClient:

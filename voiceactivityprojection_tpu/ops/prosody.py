@@ -464,6 +464,105 @@ def duration_avg(
     return np.concatenate(parts).astype(np.float32)
 
 
+def time_scale_psola(
+    x: np.ndarray,
+    factor: float,
+    sample_rate: int = 16_000,
+    hop_time: float = 0.01,
+) -> np.ndarray:
+    """Duration change WITHOUT pitch change (TD-PSOLA time-scale
+    modification): output length ≈ len(x) * factor; grains are copied
+    UNRESAMPLED from the nearest analysis epoch to the time-mapped source
+    position and overlap-added at their own source period, so the local
+    periodicity (= F0 contour) survives the stretch. The resample-based
+    ``duration_avg`` multiplies F0 by 1/stretch — unusable when the F0
+    contour is the experimental variable (the cue-isolated corpus,
+    VERDICT r4 next-round #2)."""
+    x = np.asarray(x, dtype=np.float32)
+    n = len(x)
+    if n < 64 or abs(factor - 1.0) < 1e-3:
+        return x.copy()
+    f0, voiced = pitch_track(x, sample_rate, hop_time, frame_time=0.025)
+    hop = int(hop_time * sample_rate)
+    marks = np.asarray(_pitch_marks(x, f0, voiced, sample_rate, hop))
+    n_out = int(round(n * factor))
+    out = np.zeros(n_out, np.float32)
+    norm = np.zeros(n_out, np.float32)
+    default_period = int(sample_rate / 150)
+
+    t_out = 0.0
+    while t_out < n_out:
+        t_src = min(t_out / factor, n - 1)
+        mi = int(np.searchsorted(marks, t_src))
+        if mi >= len(marks):
+            mi = len(marks) - 1
+        elif mi > 0 and abs(marks[mi - 1] - t_src) < abs(marks[mi] - t_src):
+            mi -= 1
+        m = int(marks[mi])
+        fi = min(m // hop, len(f0) - 1)
+        period = (
+            int(round(sample_rate / f0[fi]))
+            if voiced[fi] and f0[fi] > 0
+            else default_period
+        )
+        g0, g1 = max(m - period, 0), min(m + period, n)
+        grain = x[g0:g1]
+        if len(grain) < 4:
+            t_out += max(period, 8)
+            continue
+        center = m - g0
+        win = np.hanning(len(grain)).astype(np.float32)
+        o0 = int(t_out) - center
+        lo, hi = max(o0, 0), min(o0 + len(grain), n_out)
+        if hi > lo:
+            gs = lo - o0
+            out[lo:hi] += grain[gs : gs + hi - lo] * win[gs : gs + hi - lo]
+            norm[lo:hi] += win[gs : gs + hi - lo]
+        t_out += max(period, 8)
+    return (out / np.maximum(norm, 1e-8)).astype(np.float32)
+
+
+def duration_words_psola(
+    x: np.ndarray,
+    segments: List[Tuple[float, float]],
+    sample_rate: int = 16_000,
+) -> Tuple[np.ndarray, List[Tuple[float, float]]]:
+    """Equalize every word segment to the MEAN word duration with
+    pitch-preserving PSOLA stretches (gaps between words pass through).
+    Returns (audio, new word segments) — callers need the remapped
+    alignments to rebuild VAD lists. Duration-cue neutralization for the
+    F0-isolated corpus: after this, phrase-final lengthening carries no
+    information, while each word's F0 contour is intact."""
+    x = np.asarray(x, dtype=np.float32)
+    if not segments:
+        return x.copy(), []
+    durs = [e - s for s, e in segments]
+    mean_dur = float(np.mean(durs))
+    parts = []
+    new_segs: List[Tuple[float, float]] = []
+    cursor = 0
+    t_new = 0.0
+    for (s, e) in segments:
+        s_i, e_i = int(s * sample_rate), int(e * sample_rate)
+        if s_i > cursor:
+            parts.append(x[cursor:s_i])
+            t_new += (s_i - cursor) / sample_rate
+        seg = x[s_i:e_i]
+        if len(seg) > 1:
+            stretched = time_scale_psola(
+                seg, mean_dur / max(durs[len(new_segs)], 1e-3), sample_rate
+            )
+            parts.append(stretched)
+            new_segs.append((t_new, t_new + len(stretched) / sample_rate))
+            t_new += len(stretched) / sample_rate
+        else:
+            new_segs.append((t_new, t_new))
+        cursor = e_i
+    if cursor < len(x):
+        parts.append(x[cursor:])
+    return np.concatenate(parts).astype(np.float32), new_segs
+
+
 def f0_statistics(f0: np.ndarray, voiced: Optional[np.ndarray] = None):
     """(mean, std, voiced_ratio) over voiced frames — analogue of the
     reference's f0_statistics helper (vap/phrases/functional.py)."""
