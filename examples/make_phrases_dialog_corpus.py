@@ -59,9 +59,36 @@ def read_phrase_rows(root: str):
                     else row["audio_path"],
                     "voice": row["tts"],
                     "vad": literal_eval(row["vad_list"])[0],  # ch0 segments
+                    # word alignments, for --isolate_f0 duration surgery
+                    "starts": literal_eval(row["starts"]),
+                    "ends": literal_eval(row["ends"]),
                 }
             )
     return rows
+
+
+def isolate_f0_cues(r: dict) -> None:
+    """Neutralize the NON-F0 pre-end cues of one phrase in place
+    (VERDICT r4 next-round #2: force the F0-contour question):
+
+      * duration — every word PSOLA-stretched (pitch-preserving,
+        ops/prosody.time_scale_psola) to the phrase's mean word duration:
+        final lengthening carries zero information;
+      * intensity — frame energy equalized to the mean active RMS
+        (flatten_intensity): the pre-end intensity drop is gone.
+
+    The F0 contour survives both operations, so across the corpus the
+    dominant remaining within-speech pre-end cue is the pitch movement."""
+    from voiceactivityprojection_tpu.ops.prosody import (
+        duration_words_psola,
+        flatten_intensity,
+    )
+
+    segs = list(zip(r["starts"], r["ends"]))
+    y, new_segs = duration_words_psola(r["x"], segs, SR)
+    y = flatten_intensity(y, SR)
+    r["x"] = y
+    r["vad"] = [[round(s, 3), round(e, 3)] for s, e in new_segs]
 
 
 def load_wav_mono(path: str) -> np.ndarray:
@@ -151,12 +178,20 @@ def main():
                          "(next speaker starts before the phrase ends)")
     ap.add_argument("--noise_rms", type=float, default=0.003,
                     help="Gaussian channel-noise RMS (0 = r3 silence-exact)")
+    ap.add_argument("--isolate_f0", action="store_true",
+                    help="neutralize duration + intensity pre-end cues in "
+                         "every phrase (F0 contour left intact) — the "
+                         "cue-isolated corpus for the flat_f0 question")
     args = ap.parse_args()
 
     rows = read_phrase_rows(args.ref)
     by_voice = {}
-    for r in rows:
+    for i, r in enumerate(rows):
         r["x"] = load_wav_mono(r["audio_path"])
+        if args.isolate_f0:
+            isolate_f0_cues(r)
+            if (i + 1) % 30 == 0:
+                print(f"  isolate_f0: {i + 1}/{len(rows)} phrases", flush=True)
         by_voice.setdefault(r["voice"], []).append(r)
     all_voices = sorted(by_voice)
     val_voices = [v for v in all_voices if v in VAL_VOICES]

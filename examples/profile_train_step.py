@@ -67,13 +67,25 @@ from voiceactivityprojection_tpu.train.step import (
 
 from _bench_util import timed as _timed
 
+# --iters N (default 20): CPU smoke runs pass e.g. --iters 2 so each
+# timing block stays tractable in interpret/XLA-CPU mode
+_ITERS = 20
+if "--iters" in sys.argv:
+    _ITERS = int(sys.argv[sys.argv.index("--iters") + 1])
 
-def timed(name, fn, iters=20, warmup=8):
-    return _timed(name, fn, iters, warmup, width=28)
+
+def timed(name, fn, iters=None, warmup=None):
+    it = _ITERS if iters is None else iters
+    wu = max(1, it // 3) if warmup is None else warmup
+    return _timed(name, fn, it, wu, width=28)
 
 
 def main():
-    pos = [a for a in sys.argv[1:] if not a.startswith("-")]
+    argv = list(sys.argv[1:])
+    if "--iters" in argv:
+        i = argv.index("--iters")
+        del argv[i:i + 2]  # flag + value are not positionals
+    pos = [a for a in argv if not a.startswith("-")]
     B = int(pos[0]) if pos else 16
     sr, chunk_s = 16_000, 20.0
     n = int(chunk_s * sr)

@@ -104,6 +104,35 @@ def test_duration_avg():
     assert abs(len(y) - len(x)) < SR // 10
 
 
+def test_time_scale_psola_preserves_pitch():
+    """Pitch-preserving TSM (the cue-isolated corpus depends on this):
+    stretching by 1.5x changes duration, NOT the tracked F0 — while the
+    resample-based duration_avg at the same stretch multiplies F0."""
+    from voiceactivityprojection_tpu.ops.prosody import time_scale_psola
+
+    x = tone(180, 0.6)
+    y = time_scale_psola(x, 1.5)
+    assert abs(len(y) - int(len(x) * 1.5)) <= 2
+    mean, _ = voiced_mean_f0(y)
+    assert abs(mean - 180) < 6.0, mean
+    y2 = time_scale_psola(x, 0.7)
+    assert abs(len(y2) - int(round(len(x) * 0.7))) <= 2
+    mean2, _ = voiced_mean_f0(y2)
+    assert abs(mean2 - 180) < 6.0, mean2
+
+
+def test_duration_words_psola_equalizes_and_keeps_f0():
+    from voiceactivityprojection_tpu.ops.prosody import duration_words_psola
+
+    x = np.concatenate([tone(150, 0.2), tone(150, 0.1) * 0, tone(150, 0.6)])
+    segs = [(0.0, 0.2), (0.3, 0.9)]
+    y, new_segs = duration_words_psola(x, segs)
+    durs = [e - s for s, e in new_segs]
+    assert all(abs(d - 0.4) < 0.02 for d in durs), durs
+    mean, _ = voiced_mean_f0(y)
+    assert abs(mean - 150) < 6.0, mean
+
+
 def test_short_input_no_crash():
     """Inputs shorter than one 25 ms frame yield one zero-padded frame
     instead of an IndexError."""
