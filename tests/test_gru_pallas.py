@@ -170,3 +170,70 @@ def test_fused_epilogue_under_grad_requires_stop_gradient():
 
     with _pytest.raises(Exception):
         jax.grad(loss_hot)(args["w_hh"], args)
+
+
+@pytest.mark.parametrize("B,T", [(2, 16), (3, 33)])
+def test_pallas_gru_backward_matches_scan_bptt(B, T):
+    """The Pallas reverse-recurrence backward (VAP_GRU_BWD=pallas default)
+    must produce the same grads as scan BPTT for ALL inputs — x, both
+    recurrent weights, and h0 — including ragged T (time padding) and a
+    nonzero h_last cotangent."""
+    from voiceactivityprojection_tpu.ops.gru_pallas import (
+        _scan_recurrence,
+        gru_recurrence_pallas,
+    )
+
+    H = 128
+    ks = jax.random.split(jax.random.key(3), 5)
+    xp = jax.random.normal(ks[0], (B, T, 3 * H)) * 0.5
+    w_hh = jax.random.normal(ks[1], (H, 3 * H)) * 0.08
+    b_hh = jax.random.normal(ks[2], (3 * H,)) * 0.1
+    h0 = jax.random.normal(ks[3], (B, H)) * 0.5
+    # loss touches ys AND h_last so the dh_last fold-in is exercised
+    wy = jax.random.normal(ks[4], (B, T, H))
+
+    def loss(fn):
+        def f(xp, w, b, h):
+            ys, hl = fn(xp, w, b, h)
+            return (ys * wy).sum() + (hl ** 2).sum()
+        return f
+
+    g_ref = jax.grad(loss(_scan_recurrence), argnums=(0, 1, 2, 3))(
+        xp, w_hh, b_hh, h0
+    )
+    g_ker = jax.grad(loss(gru_recurrence_pallas), argnums=(0, 1, 2, 3))(
+        xp, w_hh, b_hh, h0
+    )
+    names = ("dx_proj", "dw_hh", "db_hh", "dh0")
+    for name, a, b in zip(names, g_ref, g_ker):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-4, rtol=2e-4,
+            err_msg=name,
+        )
+
+
+def test_pallas_gru_backward_env_fallback(monkeypatch):
+    """VAP_GRU_BWD=scan selects the BPTT fallback; both paths agree."""
+    from voiceactivityprojection_tpu.ops.gru_pallas import (
+        gru_recurrence_pallas,
+    )
+
+    H = 128
+    ks = jax.random.split(jax.random.key(9), 4)
+    xp = jax.random.normal(ks[0], (2, 24, 3 * H)) * 0.5
+    w_hh = jax.random.normal(ks[1], (H, 3 * H)) * 0.08
+    b_hh = jax.random.normal(ks[2], (3 * H,)) * 0.1
+    h0 = jnp.zeros((2, H))
+
+    def f(xp, w):
+        ys, _ = gru_recurrence_pallas(xp, w, b_hh, h0)
+        return (ys ** 2).sum()
+
+    monkeypatch.setenv("VAP_GRU_BWD", "pallas")
+    g_p = jax.grad(f, argnums=(0, 1))(xp, w_hh)
+    monkeypatch.setenv("VAP_GRU_BWD", "scan")
+    g_s = jax.grad(f, argnums=(0, 1))(xp, w_hh)
+    for a, b in zip(g_p, g_s):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-4, rtol=2e-4
+        )

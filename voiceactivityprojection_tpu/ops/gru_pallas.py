@@ -297,16 +297,161 @@ def _forward_pallas(x_proj, w_hh, b_hh, h0):
     return ys, ys[:, -1]
 
 
+def _gru_bwd_kernel(
+    xp_ref,      # (TIME_BLOCK, Bp, 3H) input projections (reverse blocks)
+    hprev_ref,   # (TIME_BLOCK, Bp, H) h_{t-1} planes (h0-prepended ys)
+    dys_ref,     # (TIME_BLOCK, Bp, H) output cotangents (dh_last folded in)
+    w_hh_ref,    # (H, 3H)
+    b_hh_ref,    # (1, 3H)
+    dxp_ref,     # out (TIME_BLOCK, Bp, 3H)
+    dw_ref,      # out (H, 3H) — accumulated across the whole grid
+    db_ref,      # out (1, 3H) — accumulated
+    dh0_ref,     # out (Bp, H) — the carry after the final (t=0) step
+    dh_scr,      # (Bp, H) f32 carry dL/dh_{t-1}
+    *,
+    hidden: int,
+    n_blocks: int,
+):
+    """Reverse-time BPTT recurrence. Grid iteration i processes time
+    block n_blocks-1-i (the index maps reverse the block order); within a
+    block, steps run newest-to-oldest. Gates are RECOMPUTED from the
+    streamed x-projections and h_{t-1} planes (flash-style: one extra
+    (B,H)x(H,3H) MXU matmul per step instead of 3 gate planes in HBM);
+    dW_hh/db_hh accumulate in the resident output blocks; the dh carry
+    lives in VMEM scratch across the whole grid."""
+    i = pl.program_id(0)
+    H = hidden
+
+    @pl.when(i == 0)
+    def _init():
+        dh_scr[:] = jnp.zeros_like(dh_scr)
+        dw_ref[:] = jnp.zeros_like(dw_ref)
+        db_ref[:] = jnp.zeros_like(db_ref)
+
+    dh = dh_scr[:]
+    dw_acc = jnp.zeros_like(dw_ref, dtype=jnp.float32)
+    db_acc = jnp.zeros_like(db_ref, dtype=jnp.float32)
+    for tt in range(TIME_BLOCK - 1, -1, -1):
+        xp = xp_ref[tt].astype(jnp.float32)        # (Bp, 3H)
+        h_prev = hprev_ref[tt].astype(jnp.float32)  # (Bp, H)
+        G = dh + dys_ref[tt].astype(jnp.float32)
+
+        h_proj = jax.lax.dot_general(
+            h_prev, w_hh_ref[:],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + b_hh_ref[:]
+        r = jax.nn.sigmoid(xp[:, :H] + h_proj[:, :H])
+        z = jax.nn.sigmoid(xp[:, H:2 * H] + h_proj[:, H:2 * H])
+        hn = h_proj[:, 2 * H:]
+        n = jnp.tanh(xp[:, 2 * H:] + r * hn)
+
+        dn_pre = G * (1.0 - z) * (1.0 - n * n)
+        dz_pre = G * (h_prev - n) * z * (1.0 - z)
+        dr_pre = dn_pre * hn * r * (1.0 - r)
+
+        dxp = jnp.concatenate([dr_pre, dz_pre, dn_pre], axis=-1)
+        dgates = jnp.concatenate([dr_pre, dz_pre, dn_pre * r], axis=-1)
+        dxp_ref[tt] = dxp.astype(dxp_ref.dtype)
+
+        # dh_{t-1} = z*G + dgates @ W_hh^T   (contract the 3H dim)
+        dh = G * z + jax.lax.dot_general(
+            dgates, w_hh_ref[:],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        # dW_hh += h_{t-1}^T @ dgates ; db_hh += sum_b dgates
+        dw_acc = dw_acc + jax.lax.dot_general(
+            h_prev, dgates,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        db_acc = db_acc + jnp.sum(dgates, axis=0, keepdims=True)
+
+    dh_scr[:] = dh
+    dw_ref[:] = dw_ref[:] + dw_acc.astype(dw_ref.dtype)
+    db_ref[:] = db_ref[:] + db_acc.astype(db_ref.dtype)
+
+    @pl.when(i == n_blocks - 1)
+    def _final():
+        dh0_ref[:] = dh_scr[:].astype(dh0_ref.dtype)
+
+
+def _backward_pallas(x_proj, w_hh, b_hh, h0, ys, dys, dh_last):
+    """Pallas reverse recurrence; returns (dx_proj, dw_hh, db_hh, dh0)."""
+    B, T, threeH = x_proj.shape
+    H = threeH // 3
+    # fold the h_last cotangent into the last real step's output grad
+    dys = dys.at[:, T - 1].add(dh_last)
+    pad_b = (-B) % 8
+    pad_t = (-T) % TIME_BLOCK
+    # h_{t-1} stream: h0 plane prepended, last plane dropped
+    hprev = jnp.concatenate([h0[:, None], ys[:, :-1]], axis=1)
+    if pad_b or pad_t:
+        # padded steps carry zero cotangents and zero inputs -> the
+        # reverse recurrence starts with dh=0 and stays 0 through them
+        x_proj = jnp.pad(x_proj, [(0, pad_b), (0, pad_t), (0, 0)])
+        dys = jnp.pad(dys, [(0, pad_b), (0, pad_t), (0, 0)])
+        hprev = jnp.pad(hprev, [(0, pad_b), (0, pad_t), (0, 0)])
+    Bp, Tp = B + pad_b, T + pad_t
+    nb = Tp // TIME_BLOCK
+
+    xp_tm = jnp.swapaxes(x_proj, 0, 1)
+    hprev_tm = jnp.swapaxes(hprev, 0, 1)
+    dys_tm = jnp.swapaxes(dys, 0, 1)
+    rev = lambda i: (nb - 1 - i, 0, 0)
+
+    dxp_tm, dw, db, dh0 = pl.pallas_call(
+        functools.partial(_gru_bwd_kernel, hidden=H, n_blocks=nb),
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((TIME_BLOCK, Bp, threeH), rev),
+            pl.BlockSpec((TIME_BLOCK, Bp, H), rev),
+            pl.BlockSpec((TIME_BLOCK, Bp, H), rev),
+            pl.BlockSpec((H, threeH), lambda i: (0, 0)),
+            pl.BlockSpec((1, threeH), lambda i: (0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((TIME_BLOCK, Bp, threeH), rev),
+            pl.BlockSpec((H, threeH), lambda i: (0, 0)),
+            pl.BlockSpec((1, threeH), lambda i: (0, 0)),
+            pl.BlockSpec((Bp, H), lambda i: (0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Tp, Bp, threeH), x_proj.dtype),
+            jax.ShapeDtypeStruct((H, threeH), jnp.float32),
+            jax.ShapeDtypeStruct((1, threeH), jnp.float32),
+            jax.ShapeDtypeStruct((Bp, H), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((Bp, H), jnp.float32)],
+        interpret=jax.default_backend() == "cpu",
+    )(xp_tm, hprev_tm, dys_tm, w_hh, b_hh.reshape(1, threeH))
+
+    dxp = jnp.swapaxes(dxp_tm, 0, 1)[:B, :T]
+    return (
+        dxp,
+        dw.astype(w_hh.dtype),
+        db.reshape(threeH).astype(b_hh.dtype),
+        dh0[:B].astype(h0.dtype),
+    )
+
+
 def _vjp_fwd(x_proj, w_hh, b_hh, h0):
     out = _forward_pallas(x_proj, w_hh, b_hh, h0)
-    return out, (x_proj, w_hh, b_hh, h0)
+    ys, _ = out
+    return out, (x_proj, w_hh, b_hh, h0, ys)
 
 
 def _vjp_bwd(res, g):
-    # backward via BPTT on the scan reference (training sequences are short
-    # enough that recompute-from-scratch is cheap relative to the encoder)
-    x_proj, w_hh, b_hh, h0 = res
-    _, vjp = jax.vjp(_scan_recurrence, x_proj, w_hh, b_hh, h0)
+    x_proj, w_hh, b_hh, h0, ys = res
+    dys, dh_last = g
+    if os.environ.get("VAP_GRU_BWD", "pallas") == "pallas":
+        return _backward_pallas(x_proj, w_hh, b_hh, h0, ys, dys, dh_last)
+    # scan-BPTT fallback (VAP_GRU_BWD=scan): recompute + XLA backward
+    def f(xp, w, b, h):
+        return _scan_recurrence(xp, w, b, h)
+
+    _, vjp = jax.vjp(f, x_proj, w_hh, b_hh, h0)
     return vjp(g)
 
 
