@@ -140,6 +140,56 @@ def test_gru_groups_matrix(params, waveform, monkeypatch, groups):
     np.testing.assert_allclose(np.asarray(hg), np.asarray(hw), atol=2e-4)
 
 
+def test_conv_stack_tile_knobs_matrix(params, waveform, conf, monkeypatch):
+    """fused_stack's tiling (VAP_CONV_T1OUT) and row-prep layout
+    (VAP_CONV_ROWPREP=write) are pure scheduling knobs — outputs must
+    match the XLA path bit-for-tolerance at every setting."""
+    monkeypatch.setenv("VAP_CONV_IMPL", "xla")
+    want = _logits(params, waveform, conf)
+    monkeypatch.setenv("VAP_CONV_IMPL", "fused_stack")
+    for t1out in ("1024", "2048"):
+        monkeypatch.setenv("VAP_CONV_T1OUT", t1out)
+        got = _logits(params, waveform, conf)
+        np.testing.assert_allclose(
+            got, want, atol=2e-4, err_msg=f"VAP_CONV_T1OUT={t1out}"
+        )
+    monkeypatch.delenv("VAP_CONV_T1OUT")
+    monkeypatch.setenv("VAP_CONV_ROWPREP", "write")
+    got = _logits(params, waveform, conf)
+    np.testing.assert_allclose(got, want, atol=2e-4,
+                               err_msg="VAP_CONV_ROWPREP=write")
+
+
+def test_gru_bwd_matrix(params, waveform, monkeypatch):
+    """VAP_GRU_BWD pallas-vs-scan grads through the Pallas recurrence on
+    encoder-shaped features (the op-level sweep lives in
+    tests/test_gru_pallas.py; this anchors the knob in the matrix)."""
+    from voiceactivityprojection_tpu.models.encoder import _conv_stack
+    from voiceactivityprojection_tpu.ops.gru_pallas import (
+        gru_recurrence_pallas,
+    )
+
+    enc = params["encoder"]
+    both = waveform.reshape(2, -1)
+    feats = _conv_stack(enc, both[..., None])
+    g = enc["gAR"]
+    xp = feats @ g["w_ih"] + g["b_ih"]
+    h0 = jnp.zeros((2, g["w_hh"].shape[0]), feats.dtype)
+
+    def loss(xp, w):
+        ys, _ = gru_recurrence_pallas(xp, w, g["b_hh"], h0)
+        return (ys ** 2).sum()
+
+    grads = {}
+    for mode in ("pallas", "scan"):
+        monkeypatch.setenv("VAP_GRU_BWD", mode)
+        grads[mode] = jax.grad(loss, argnums=(0, 1))(xp, g["w_hh"])
+    for a, b in zip(grads["pallas"], grads["scan"]):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-4, rtol=2e-4
+        )
+
+
 def test_gru_ds_matrix(params, waveform):
     """The fused GRU+downsample epilogue (TPU default, VAP_GRU_DS=fused)
     built exactly as models/encoder.py:160-181 builds it must match the
