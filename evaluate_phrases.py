@@ -94,6 +94,13 @@ def main() -> None:
     )
     parser.add_argument("--limit", type=int, default=0, help="debug sample cap")
     parser.add_argument(
+        "--perm_cache", type=str, default="/tmp/vap_perm_cache",
+        help="directory caching permuted audio as .npy keyed by "
+             "(permutation, wav name): the host-side PSOLA/low-pass DSP is "
+             "identical across checkpoints, so multi-seed sweeps pay it "
+             "once ('' disables)",
+    )
+    parser.add_argument(
         "--directionality", action="store_true",
         help="after scoring, run the paired SIGDIAL directionality "
              "analysis (analyzes/phrases_directionality.py) and save "
@@ -126,7 +133,24 @@ def main() -> None:
         sample = dset[i]
         base = sample["waveform"][0]  # channel 0 audio
         for perm in args.permutations:
-            audio = permute_waveform(perm, base, sample)
+            audio = None
+            cache_path = ""
+            if args.perm_cache and perm != "regular":
+                os.makedirs(args.perm_cache, exist_ok=True)
+                stem = os.path.splitext(
+                    os.path.basename(sample["audio_path"])
+                )[0]
+                cache_path = os.path.join(
+                    args.perm_cache, f"{perm}__{stem}.npy"
+                )
+                if os.path.exists(cache_path):
+                    cached = np.load(cache_path)
+                    if cached.shape == base.shape:
+                        audio = cached
+            if audio is None:
+                audio = permute_waveform(perm, base, sample)
+                if cache_path:
+                    np.save(cache_path, np.asarray(audio, np.float32))
             stereo = np.stack([audio, np.zeros_like(audio)])[None]
             out = model.forward(jnp.asarray(stereo))
             probs = {k: np.asarray(v) for k, v in get_probs(out["logits"]).items()}
