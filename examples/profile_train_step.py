@@ -394,8 +394,9 @@ def unfrozen_encoder_split(conf, params, batch, B):
         return (out.astype(jnp.float32) * ct_c).sum()
 
     gru_grad = jax.jit(lambda g: jax.grad(gru_loss)(g))
+    gru_fwd_j = jax.jit(lambda g: gru_op(g, feats)[0])
     t_gru_fwd = timed("gru_fwd (from conv feats)",
-                      lambda: gru_op(enc_p["gAR"], feats)[0])
+                      lambda: gru_fwd_j(enc_p["gAR"]))
     t_gru_grad = timed("gru_grad (fwd+bwd)", lambda: gru_grad(enc_p["gAR"]))
 
     print(f"#   enc_bwd = enc_grad - enc_fwd; pieces: conv bwd "
