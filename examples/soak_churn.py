@@ -166,6 +166,22 @@ def main():
         model, streams=args.streams, context_time=20.0,
         hop_frames=args.hop_frames, session_timeout_s=5.0,
     )
+    # prewarm: the first tick compiles the batched streamer (minutes on a
+    # tunneled TPU) — run 1 compiled the shapes mid-churn and the whole
+    # early session cohort timed out on it (535 'Again' errors). Compile
+    # BEFORE clients exist, then reset (serve() resets again on start).
+    t0 = time.time()
+    server.sessions[0] = b"_prewarm"
+    for _ in range(2):  # full tick path: push + packed single fetch
+        server.pending[0] = [(None, np.zeros((2, server.hop_samples),
+                                             np.float32))]
+        server._tick()
+    server.sessions.clear()
+    server.pending.clear()
+    server.slot_underruns.clear()
+    server.stats.update(ticks=0, pushes=0, underruns=0, evictions=0)
+    server.streamer.reset()
+    print(f"prewarm compile: {time.time() - t0:.1f}s", flush=True)
     server.start(port=args.port)
     hop_samples = server.hop_samples
     print(f"server up: {args.streams} slots, hop={hop_samples} samples "
@@ -219,8 +235,8 @@ def main():
 
     with results_lock:
         results = list(results)
-    lat = np.concatenate([r.latencies for r in results if r.latencies]) \
-        if results else np.zeros(1)
+    lats = [r.latencies for r in results if r.latencies]
+    lat = np.concatenate(lats) if lats else np.zeros(1)
     pct = lambda p: float(np.percentile(lat, p) * 1e3)
     summary = {
         "streams": args.streams,
@@ -270,15 +286,21 @@ def main():
         keys = ("p_now", "p_future")
         srv = {k: np.concatenate([rec[k] for rec in r.outputs], 0)
                for k in keys}
+        # keep replay outputs ON DEVICE and fetch ONCE per session — a
+        # per-hop np.asarray is a host round trip (~28 ms tunneled), which
+        # made the original checker hours-slow at 24 sessions x 400 hops
+        import jax.numpy as jnp
+
         refs = {k: [] for k in keys}
         for i in range(len(r.outputs)):
             chunk = audio[None, :, i * hop_samples:(i + 1) * hop_samples]
             ref = solo.push(chunk)
             for k in keys:
-                refs[k].append(np.asarray(ref[k])[:, 0])
+                refs[k].append(ref[k][:, 0])
+        fetched = {k: np.asarray(jnp.concatenate(refs[k], 0)) for k in keys}
         worst = 0.0
         for k in keys:
-            ref_cat = np.concatenate(refs[k], 0)
+            ref_cat = fetched[k]
             L = min(len(srv[k]) - 1 - skip_f, len(ref_cat) - skip_f)
             if L <= 0:
                 continue

@@ -109,7 +109,16 @@ class VapServer:
 
         ctx = zmq.Context()
         sock = ctx.socket(zmq.ROUTER)
-        sock.bind(f"tcp://*:{port}")
+        try:
+            sock.bind(f"tcp://*:{port}")
+        except Exception as e:
+            # surface bind failures to start() — a silently-dead server
+            # leaves clients talking to whatever already owns the port
+            self._serve_error = e
+            if ready_event is not None:
+                ready_event.set()
+            ctx.term()
+            raise
         poller = zmq.Poller()
         poller.register(sock, zmq.POLLIN)
         if ready_event is not None:
@@ -185,10 +194,19 @@ class VapServer:
 
     def start(self, port: int = 5590) -> threading.Thread:
         ready = threading.Event()
+        self._serve_error = None
         t = threading.Thread(target=self.serve, args=(port, ready), daemon=True)
         self._thread = t
         t.start()
-        ready.wait(timeout=10)
+        ok = ready.wait(timeout=30)
+        if self._serve_error is not None:
+            raise RuntimeError(
+                f"server failed to start on port {port}"
+            ) from self._serve_error
+        if not ok:
+            raise RuntimeError(
+                f"server did not become ready on port {port} within 30s"
+            )
         return t
 
     def stop(self):
@@ -349,7 +367,16 @@ class VapStreamServer:
         self.streamer.reset()
         ctx = zmq.Context()
         sock = ctx.socket(zmq.ROUTER)
-        sock.bind(f"tcp://*:{port}")
+        try:
+            sock.bind(f"tcp://*:{port}")
+        except Exception as e:
+            # surface bind failures to start() — a silently-dead server
+            # leaves clients talking to whatever already owns the port
+            self._serve_error = e
+            if ready_event is not None:
+                ready_event.set()
+            ctx.term()
+            raise
         poller = zmq.Poller()
         poller.register(sock, zmq.POLLIN)
         send_lock = threading.Lock()
@@ -467,10 +494,19 @@ class VapStreamServer:
 
     def start(self, port: int = 5595) -> threading.Thread:
         ready = threading.Event()
+        self._serve_error = None
         t = threading.Thread(target=self.serve, args=(port, ready), daemon=True)
         self._thread = t
         t.start()
-        ready.wait(timeout=10)
+        ok = ready.wait(timeout=30)
+        if self._serve_error is not None:
+            raise RuntimeError(
+                f"stream server failed to start on port {port}"
+            ) from self._serve_error
+        if not ok:
+            raise RuntimeError(
+                f"stream server did not become ready on port {port} within 30s"
+            )
         return t
 
     def stop(self):
