@@ -84,13 +84,13 @@ class SessionResult:
 
 
 def run_session(serial, port, hop_samples, sr, life_s, crash, pace_scale,
-                rng_seed, keep_outputs):
+                rng_seed, keep_outputs, zctx):
     from voiceactivityprojection_tpu.inference.server import VapStreamClient
 
     res = SessionResult(serial)
     rng = np.random.default_rng(rng_seed)
     try:
-        c = VapStreamClient(port=port, timeout_s=120.0)
+        c = VapStreamClient(port=port, timeout_s=120.0, ctx=zctx)
         c.open()
         audio = synth_dialog(life_s + 1.0, sr, seed=serial)
         hop_s = hop_samples / sr * pace_scale
@@ -120,8 +120,7 @@ def run_session(serial, port, hop_samples, sr, life_s, crash, pace_scale,
         if crash:
             res.outcome = "crashed"
             c.session = None     # vanish without close: eviction path
-            c.sock.close(0)
-            c.ctx.term()
+            c.sock.close(0)      # shared ctx stays alive
         else:
             h = c.close()
             res.outcome = "closed"
@@ -152,6 +151,11 @@ def main():
     ap.add_argument("--port", type=int, default=5611)
     ap.add_argument("--check_sessions", type=int, default=24,
                     help="max clean underrun-free sessions to replay solo")
+    ap.add_argument("--session_timeout", type=float, default=30.0,
+                    help="idle-eviction timeout; generous by default so a "
+                    "transient tunnel stall does not evict the whole "
+                    "cohort at once (run 2 lost all 57 initial sessions "
+                    "to a 5 s timeout during a compile window)")
     ap.add_argument("--out", default="/tmp/soak_churn.json")
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
@@ -164,7 +168,7 @@ def main():
 
     server = VapStreamServer(
         model, streams=args.streams, context_time=20.0,
-        hop_frames=args.hop_frames, session_timeout_s=5.0,
+        hop_frames=args.hop_frames, session_timeout_s=args.session_timeout,
     )
     # prewarm: the first tick compiles the batched streamer (minutes on a
     # tunneled TPU) — run 1 compiled the shapes mid-churn and the whole
@@ -172,7 +176,8 @@ def main():
     # BEFORE clients exist, then reset (serve() resets again on start).
     t0 = time.time()
     server.sessions[0] = b"_prewarm"
-    for _ in range(2):  # full tick path: push + packed single fetch
+    server._resets.add(0)  # compile the reset_stream path too
+    for _ in range(2):  # full tick path: reset + push + packed single fetch
         server.pending[0] = [(None, np.zeros((2, server.hop_samples),
                                              np.float32))]
         server._tick()
@@ -188,7 +193,11 @@ def main():
           f"({hop_samples / sr * 1e3:.0f} ms)", flush=True)
 
     # churn engine: keep ~90% of slots busy; one worker thread per live
-    # session; respawn with a fresh serial when one ends
+    # session; respawn with a fresh serial when one ends. ONE shared ZMQ
+    # context for every client (see VapStreamClient ctx doc).
+    import zmq
+
+    zctx = zmq.Context(io_threads=2)
     rng = np.random.default_rng(args.seed)
     results = []
     results_lock = threading.Lock()
@@ -208,6 +217,7 @@ def main():
             res = run_session(
                 serial, args.port, hop_samples, sr, life, crash,
                 args.pace, rng_seed=10_000 + serial, keep_outputs=keep,
+                zctx=zctx,
             )
             with results_lock:
                 results.append(res)

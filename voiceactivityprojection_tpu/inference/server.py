@@ -561,11 +561,19 @@ class VapStreamClient:
     per-hop outputs for the new frames."""
 
     def __init__(self, port: int = 5595, host: str = "localhost",
-                 timeout_s: float = 60.0):
+                 timeout_s: float = 60.0, ctx=None):
+        """``ctx``: optionally share one zmq.Context across many clients
+        (contexts are thread-safe; sockets are per-thread). A harness
+        spawning hundreds of short-lived clients MUST share one — each
+        private context carries internal IO threads, and rapid
+        create/terminate cycles abort inside libzmq (object.cpp assert,
+        observed in the round-5 churn soak)."""
         import zmq
 
-        self.ctx = zmq.Context()
+        self._own_ctx = ctx is None
+        self.ctx = ctx if ctx is not None else zmq.Context()
         self.sock = self.ctx.socket(zmq.DEALER)
+        self.sock.setsockopt(zmq.LINGER, 0)
         self.sock.connect(f"tcp://{host}:{port}")
         self.sock.setsockopt(zmq.RCVTIMEO, int(timeout_s * 1000))
         self.session: Optional[int] = None
@@ -610,7 +618,8 @@ class VapStreamClient:
                 pass
             self.session = None
         self.sock.close(0)
-        self.ctx.term()
+        if self._own_ctx:
+            self.ctx.term()
         return reply_h
 
 
