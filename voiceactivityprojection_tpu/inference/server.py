@@ -121,15 +121,23 @@ class VapServer:
             raise
         poller = zmq.Poller()
         poller.register(sock, zmq.POLLIN)
+        # one lock for EVERY socket op — zmq sockets are not thread-safe
+        # across threads even for recv-vs-send (see VapStreamServer.serve)
+        send_lock = threading.Lock()
         if ready_event is not None:
             ready_event.set()
 
         def receiver():
+            import time as _time
+
             while not self._stop.is_set():
                 try:
-                    if not dict(poller.poll(timeout=50)):
+                    with send_lock:
+                        ready = dict(poller.poll(timeout=0))
+                        frames = sock.recv_multipart() if ready else None
+                    if frames is None:
+                        _time.sleep(0.002)
                         continue
-                    frames = sock.recv_multipart()
                 except zmq.ZMQError:
                     return  # socket closed during shutdown
                 try:
@@ -162,7 +170,6 @@ class VapServer:
                 self.queue.put(_Request(ident, h.get("req_id"), padded, n_frames))
                 self.stats["requests"] += 1
 
-        send_lock = threading.Lock()
         rt = threading.Thread(target=receiver, daemon=True)
         rt.start()
 
@@ -379,20 +386,30 @@ class VapStreamServer:
             raise
         poller = zmq.Poller()
         poller.register(sock, zmq.POLLIN)
-        send_lock = threading.Lock()
+        # ONE lock serializes EVERY socket operation (recv, poll, send):
+        # a zmq socket is not thread-safe even for distinct operations
+        # from different threads — the receiver thread's recv racing the
+        # tick thread's send aborts inside libzmq (object.cpp assert,
+        # reproduced twice in the round-5 churn soak under load)
+        sock_lock = threading.Lock()
         if ready_event is not None:
             ready_event.set()
 
         def reply(ident, header: dict, payload: bytes = b""):
-            with send_lock:
+            with sock_lock:
                 sock.send_multipart([ident, json.dumps(header).encode(), payload])
 
         def receiver():
             while not self._stop.is_set():
                 try:
-                    if not dict(poller.poll(timeout=50)):
+                    with sock_lock:
+                        ready = dict(poller.poll(timeout=0))
+                        frames = sock.recv_multipart() if ready else None
+                    if frames is None:
+                        # poll outside the lock so reply() can interleave
+                        time.sleep(0.002)
                         continue
-                    ident, header, payload = sock.recv_multipart()
+                    ident, header, payload = frames
                 except (zmq.ZMQError, ValueError):
                     if self._stop.is_set():
                         return
