@@ -151,6 +151,11 @@ def main():
     ap.add_argument("--port", type=int, default=5611)
     ap.add_argument("--check_sessions", type=int, default=24,
                     help="max clean underrun-free sessions to replay solo")
+    ap.add_argument("--max_wait_ms", type=float, default=15.0,
+                    help="cohort deadline before a tick advances missing "
+                    "slots with silence; for slowed pacing (--pace > 1) "
+                    "set >= pace * hop so cohort ticks wait for every "
+                    "client and sessions stay underrun-free")
     ap.add_argument("--session_timeout", type=float, default=30.0,
                     help="idle-eviction timeout; generous by default so a "
                     "transient tunnel stall does not evict the whole "
@@ -169,6 +174,7 @@ def main():
     server = VapStreamServer(
         model, streams=args.streams, context_time=20.0,
         hop_frames=args.hop_frames, session_timeout_s=args.session_timeout,
+        max_wait_ms=args.max_wait_ms,
     )
     # prewarm: the first tick compiles the batched streamer (minutes on a
     # tunneled TPU) — run 1 compiled the shapes mid-churn and the whole
