@@ -131,6 +131,10 @@ def run_session(serial, port, hop_samples, sr, life_s, crash, pace_scale,
             # slot was evicted under us (server idle timeout) — a
             # legitimate churn outcome, not a harness failure
             res.outcome = "evicted"
+        elif "no free stream slots" in repr(e):
+            # churn engine respawned faster than slots freed — expected
+            # back-pressure (the server correctly refuses), not a failure
+            res.outcome = "rejected"
         else:
             res.outcome = "error"
             res.error = repr(e)
@@ -263,6 +267,7 @@ def main():
         "sessions_closed": sum(r.outcome == "closed" for r in results),
         "sessions_crashed": sum(r.outcome == "crashed" for r in results),
         "sessions_evicted": sum(r.outcome == "evicted" for r in results),
+        "sessions_rejected": sum(r.outcome == "rejected" for r in results),
         "sessions_error": sum(r.outcome == "error" for r in results),
         "errors": [r.error for r in results if r.error][:10],
         "hops_total": int(sum(r.n_hops for r in results)),
