@@ -136,13 +136,19 @@ def main() -> None:
             audio = None
             cache_path = ""
             if args.perm_cache and perm != "regular":
-                os.makedirs(args.perm_cache, exist_ok=True)
+                # key by corpus root too — identical basenames from two
+                # different --phrases_root corpora must not collide
+                import hashlib
+
+                root_key = hashlib.sha1(
+                    os.path.abspath(args.phrases_root).encode()
+                ).hexdigest()[:10]
+                cdir = os.path.join(args.perm_cache, root_key)
+                os.makedirs(cdir, exist_ok=True)
                 stem = os.path.splitext(
                     os.path.basename(sample["audio_path"])
                 )[0]
-                cache_path = os.path.join(
-                    args.perm_cache, f"{perm}__{stem}.npy"
-                )
+                cache_path = os.path.join(cdir, f"{perm}__{stem}.npy")
                 if os.path.exists(cache_path):
                     cached = np.load(cache_path)
                     if cached.shape == base.shape:
@@ -150,7 +156,11 @@ def main() -> None:
             if audio is None:
                 audio = permute_waveform(perm, base, sample)
                 if cache_path:
-                    np.save(cache_path, np.asarray(audio, np.float32))
+                    # temp-file + rename: a concurrent sweep must never
+                    # np.load a half-written file (np.save appends .npy)
+                    tmp = f"{cache_path}.tmp{os.getpid()}"
+                    np.save(tmp, np.asarray(audio, np.float32))
+                    os.replace(tmp + ".npy", cache_path)
             stereo = np.stack([audio, np.zeros_like(audio)])[None]
             out = model.forward(jnp.asarray(stereo))
             probs = {k: np.asarray(v) for k, v in get_probs(out["logits"]).items()}

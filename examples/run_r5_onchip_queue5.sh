@@ -14,7 +14,8 @@ cd "$(dirname "$0")/.."
 if [ ! -f /tmp/r5q_soak_correct.log ]; then
   echo "$(date -u +%H:%M:%S) [a] correctness soak (pace 5)"
   timeout 2400 python -u examples/soak_churn.py --streams 64 \
-    --duration 600 --pace 5.0 --check_sessions 16 --port 5614 \
+    --duration 600 --pace 5.0 --max_wait_ms 400 --check_sessions 16 \
+    --port 5614 \
     --out /tmp/soak_churn_r5_correct.json > /tmp/r5q_soak_correct.log 2>&1
   echo "rc=$?" >> /tmp/r5q_soak_correct.log
 fi

@@ -339,15 +339,22 @@ def main():
         "max_abs_diff": max((d["max_abs_diff"] for d in diffs), default=None),
         "per_session": diffs,
     }
-    ok = all(d["max_abs_diff"] < 0.05 for d in diffs)
+    if not diffs and args.check_sessions > 0:
+        # a check that examined nothing must not report a pass
+        ok = None
+    else:
+        ok = all(d["max_abs_diff"] < 0.05 for d in diffs)
     summary["contamination_ok"] = ok
 
     server.stop()
     with open(args.out, "w") as f:
         json.dump(summary, f, indent=2)
     print(f"-> {args.out}  contamination_ok={ok}", flush=True)
-    if not ok:
+    if ok is False:  # None = check never ran (reported, exit 0 with a note)
         sys.exit(1)
+    if ok is None and args.check_sessions > 0:
+        print("WARNING: contamination check had zero eligible sessions — "
+              "no pass/fail claim made", flush=True)
 
 
 if __name__ == "__main__":

@@ -117,7 +117,8 @@ class VapServer:
             self._serve_error = e
             if ready_event is not None:
                 ready_event.set()
-            ctx.term()
+            sock.close(0)  # MUST precede ctx.term(): zmq_ctx_term blocks
+            ctx.term()     # until every socket in the context is closed
             raise
         poller = zmq.Poller()
         poller.register(sock, zmq.POLLIN)
@@ -128,15 +129,13 @@ class VapServer:
             ready_event.set()
 
         def receiver():
-            import time as _time
-
             while not self._stop.is_set():
                 try:
                     with send_lock:
                         ready = dict(poller.poll(timeout=0))
                         frames = sock.recv_multipart() if ready else None
                     if frames is None:
-                        _time.sleep(0.002)
+                        time.sleep(0.002)
                         continue
                 except zmq.ZMQError:
                     return  # socket closed during shutdown
@@ -333,8 +332,6 @@ class VapStreamServer:
         # outputs into a single device buffer makes the tick pay exactly
         # one. Measured in the round-5 churn soak: 4 keys fetched
         # separately put the tick at ~175 ms through the tunnel.
-        import jax.numpy as jnp
-
         keys = list(out)
         shapes = {k: out[k].shape for k in keys}
         packed = np.asarray(
@@ -382,7 +379,8 @@ class VapStreamServer:
             self._serve_error = e
             if ready_event is not None:
                 ready_event.set()
-            ctx.term()
+            sock.close(0)  # MUST precede ctx.term(): zmq_ctx_term blocks
+            ctx.term()     # until every socket in the context is closed
             raise
         poller = zmq.Poller()
         poller.register(sock, zmq.POLLIN)
@@ -547,11 +545,19 @@ def _decode_payload(h: dict, payload: bytes) -> Dict[str, np.ndarray]:
     return out
 
 
-def _recv_matching(sock, req_id):
+def _recv_matching(sock, req_id, stale_plausible: bool = False):
     """Receive until the reply whose req_id matches ``req_id``; stale
     replies from a previously timed-out request are DISCARDED — the first
     TPU compile of a shape can outlast the client's RCVTIMEO, and without
-    this the next call would silently return the wrong input's outputs."""
+    this the next call would silently return the wrong input's outputs.
+
+    ``stale_plausible``: a malformed-request error reply carries req_id
+    None; it is discarded as stale ONLY when a previous call on this
+    socket timed out (so orphaned traffic can exist). Otherwise it must
+    belong to the current request and is raised immediately — swallowing
+    it would turn a descriptive server error into a silent RCVTIMEO."""
+    import logging
+
     while True:
         parts = sock.recv_multipart()
         h = json.loads(parts[0])
@@ -559,12 +565,7 @@ def _recv_matching(sock, req_id):
         if got is not None and req_id is not None and got != req_id:
             continue
         if "error" in h:
-            if got is None and req_id is not None:
-                # malformed-request errors carry req_id None; one arriving
-                # while we await a well-formed request is STALE traffic
-                # (an earlier timed-out packet), not this request's fate
-                import logging
-
+            if got is None and req_id is not None and stale_plausible:
                 logging.getLogger(__name__).warning(
                     "discarding stale error reply: %s", h["error"]
                 )
@@ -596,6 +597,16 @@ class VapStreamClient:
         self.session: Optional[int] = None
         self.hop_samples: Optional[int] = None
         self._next_id = 0
+        self._had_timeout = False  # stale replies possible only after one
+
+    def _recv(self, req_id):
+        try:
+            return _recv_matching(self.sock, req_id,
+                                  stale_plausible=self._had_timeout)
+        except Exception as e:
+            if "Resource temporarily unavailable" in repr(e):
+                self._had_timeout = True  # orphaned reply may arrive later
+            raise
 
     def open(self) -> int:
         req_id = self._next_id
@@ -603,7 +614,7 @@ class VapStreamClient:
         self.sock.send_multipart(
             [json.dumps({"op": "open", "req_id": req_id}).encode(), b""]
         )
-        h, _ = _recv_matching(self.sock, req_id)
+        h, _ = self._recv(req_id)
         self.session = int(h["session"])
         self.hop_samples = int(h["hop_samples"])
         return self.session
@@ -614,7 +625,7 @@ class VapStreamClient:
         self._next_id += 1
         header = {"op": "push", "session": self.session, "req_id": req_id}
         self.sock.send_multipart([json.dumps(header).encode(), chunk.tobytes()])
-        h, payload = _recv_matching(self.sock, req_id)
+        h, payload = self._recv(req_id)
         return _decode_payload(h, payload)
 
     def close(self) -> Optional[dict]:
@@ -630,7 +641,7 @@ class VapStreamClient:
                     [json.dumps({"op": "close", "session": self.session,
                                  "req_id": req_id}).encode(), b""]
                 )
-                reply_h, _ = _recv_matching(self.sock, req_id)
+                reply_h, _ = self._recv(req_id)
             except Exception:
                 pass
             self.session = None
@@ -649,6 +660,7 @@ class VapClient:
         self.sock.connect(f"tcp://{host}:{port}")
         self.sock.setsockopt(zmq.RCVTIMEO, int(timeout_s * 1000))
         self._next_id = 0
+        self._had_timeout = False
 
     def infer(self, waveform: np.ndarray) -> Dict[str, np.ndarray]:
         waveform = np.ascontiguousarray(waveform, dtype=np.float32)
@@ -656,7 +668,13 @@ class VapClient:
         self._next_id += 1
         header = {"req_id": req_id, "shape": list(waveform.shape)}
         self.sock.send_multipart([json.dumps(header).encode(), waveform.tobytes()])
-        h, payload = _recv_matching(self.sock, req_id)
+        try:
+            h, payload = _recv_matching(self.sock, req_id,
+                                        stale_plausible=self._had_timeout)
+        except Exception as e:
+            if "Resource temporarily unavailable" in repr(e):
+                self._had_timeout = True
+            raise
         return _decode_payload(h, payload)
 
     def close(self):
