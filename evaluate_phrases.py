@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import argparse
 import csv
+import hashlib
 import os
 from typing import Dict
 
@@ -138,8 +139,6 @@ def main() -> None:
             if args.perm_cache and perm != "regular":
                 # key by corpus root too — identical basenames from two
                 # different --phrases_root corpora must not collide
-                import hashlib
-
                 root_key = hashlib.sha1(
                     os.path.abspath(args.phrases_root).encode()
                 ).hexdigest()[:10]
